@@ -1,0 +1,181 @@
+"""Camera geometry: projections, virtual intrinsics, depth bins.
+
+Re-implements (TPU-native) the geometry in:
+  * per-RoI virtual intrinsics       (ref: models/roi_heads/mv2d_head.py:51-72)
+  * center2lidar unprojection        (ref: roi_heads/utils/query_generator.py:334-341)
+  * LID depth discretisation         (ref: roi_heads/utils/box_correlation.py:221-227,
+                                           models/utils/pe.py:96-104)
+  * cross-view transform matrices    (ref: box_correlation.py:118-122)
+
+The reference performs 4x4 matrix inversions in float64 on the GPU.  TPUs have
+no fast f64, so this module splits the work:
+  * per-VIEW inverses (img2lidar, inv(extrinsic^T), trans_mats) are computed
+    once per sample on the HOST in float64 (`prepare_camera_params`) and fed to
+    the device as fp32 constants,
+  * the per-RoI virtual-intrinsic inverse uses the analytic form of a
+    projection matrix ([[A, t, 0], [0,0,1,0], [0,0,0,1]]), which is
+    well-conditioned in fp32 (no generic Gauss elimination on device).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class CameraParams:
+    """Per-sample padded camera parameters (all [V, 4, 4] fp32, host-prepared).
+
+    lidar2img = intrinsic @ extrinsic^T (the reference's convention, see
+    query_generator.py:338).
+    """
+    intrinsics: jnp.ndarray        # [V, 4, 4]
+    extrinsics: jnp.ndarray        # [V, 4, 4]
+    lidar2img: jnp.ndarray         # [V, 4, 4]
+    img2lidar: jnp.ndarray         # [V, 4, 4] = inv(lidar2img), host f64
+    ext_t_inv: jnp.ndarray         # [V, 4, 4] = inv(extrinsic^T), host f64
+    trans_mats: jnp.ndarray        # [V, V, 4, 4]; [i, j] = lidar2img[j] @ img2lidar[i]
+    timestamps: jnp.ndarray        # [V] relative seconds
+
+    @property
+    def num_views(self) -> int:
+        return self.intrinsics.shape[0]
+
+
+def prepare_camera_params(intrinsics: Sequence[np.ndarray],
+                          extrinsics: Sequence[np.ndarray],
+                          timestamps: Sequence[float] | None = None,
+                          dtype=np.float32) -> CameraParams:
+    """Host-side (float64) precompute of all per-view inverse matrices."""
+    K = np.asarray(intrinsics, dtype=np.float64).reshape(-1, 4, 4)
+    E = np.asarray(extrinsics, dtype=np.float64).reshape(-1, 4, 4)
+    V = K.shape[0]
+    lidar2img = K @ np.transpose(E, (0, 2, 1))
+    img2lidar = np.linalg.inv(lidar2img)
+    ext_t_inv = np.linalg.inv(np.transpose(E, (0, 2, 1)))
+    trans_mats = lidar2img[None] @ img2lidar[:, None]      # [i, j]
+    if timestamps is None:
+        ts = np.zeros((V,), dtype=np.float64)
+    else:
+        ts = np.asarray(timestamps, dtype=np.float64)
+        ts = ts - ts.min()
+    return CameraParams(
+        intrinsics=jnp.asarray(K, dtype=dtype),
+        extrinsics=jnp.asarray(E, dtype=dtype),
+        lidar2img=jnp.asarray(lidar2img, dtype=dtype),
+        img2lidar=jnp.asarray(img2lidar, dtype=dtype),
+        ext_t_inv=jnp.asarray(ext_t_inv, dtype=dtype),
+        trans_mats=jnp.asarray(trans_mats, dtype=dtype),
+        timestamps=jnp.asarray(ts, dtype=dtype),
+    )
+
+
+def lid_depth_bins(depth_start: float, depth_end: float, num: int,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Linear-increasing discretisation (LID) depth bin centers.
+
+    d_i = start + bin * i * (i+1), bin = (end-start) / (num * (num+1)).
+    (ref: box_correlation.py:221-226, pe.py:96-100)
+    """
+    index = jnp.arange(num, dtype=dtype)
+    bin_size = (depth_end - depth_start) / (num * (1 + num))
+    return depth_start + bin_size * index * (index + 1)
+
+
+def virtual_intrinsics(boxes: jnp.ndarray, intrinsics: jnp.ndarray,
+                       roi_size: Sequence[int] = (7, 7)) -> jnp.ndarray:
+    """Per-RoI virtual camera intrinsics.
+
+    Shifts the principal point to the RoI origin and rescales so the RoI maps
+    onto a roi_size output grid (ref: mv2d_head.py:62-67, including the
+    half-pixel `0.5 / scale` offset applied before scaling).
+
+    boxes: [R, 4] (x1,y1,x2,y2) in image pixels; intrinsics: [R, 4, 4]
+    (the owning view's K per RoI).  Returns [R, 4, 4].
+    """
+    wh_bbox = boxes[:, 2:4] - boxes[:, 0:2]
+    wh_roi = jnp.asarray([roi_size[1], roi_size[0]], dtype=boxes.dtype)
+    scale = wh_roi[None] / wh_bbox                                   # [R, 2]
+    K = intrinsics
+    shift = K[:, :2, 2] - boxes[:, 0:2] - 0.5 / scale
+    K = K.at[:, :2, 2].set(shift)
+    K = K.at[:, :2].multiply(scale[..., None])
+    return K
+
+
+def invert_projection(K: jnp.ndarray) -> jnp.ndarray:
+    """Analytic inverse of projection-style 4x4 matrices.
+
+    Assumes rows 2,3 are [0,0,1,0], [0,0,0,1] and column 3 of rows 0,1 is 0,
+    i.e. K = [[A, t, 0], [0,0,1,0], [0,0,0,1]] with A 2x2 - which holds for
+    nuScenes viewpad intrinsics composed with any 2D image-plane affine aug
+    (resize/crop/flip/rotate).  K: [..., 4, 4].
+    """
+    a, b = K[..., 0, 0], K[..., 0, 1]
+    c, d = K[..., 1, 0], K[..., 1, 1]
+    tx, ty = K[..., 0, 2], K[..., 1, 2]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    ia, ib = d * inv_det, -b * inv_det
+    ic, id_ = -c * inv_det, a * inv_det
+    out = jnp.zeros_like(K)
+    out = out.at[..., 0, 0].set(ia).at[..., 0, 1].set(ib)
+    out = out.at[..., 1, 0].set(ic).at[..., 1, 1].set(id_)
+    out = out.at[..., 0, 2].set(-(ia * tx + ib * ty))
+    out = out.at[..., 1, 2].set(-(ic * tx + id_ * ty))
+    out = out.at[..., 2, 2].set(1.0)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def center2lidar(center_pred: jnp.ndarray, virtual_K: jnp.ndarray,
+                 ext_t_inv: jnp.ndarray) -> jnp.ndarray:
+    """Unproject (u, v, depth) predictions (virtual RoI frame) to lidar xyz.
+
+    img2lidar = inv(K_virt @ E^T) = inv(E^T) @ inv(K_virt); inv(E^T) is a
+    host-precomputed per-view constant gathered per RoI, inv(K_virt) is
+    analytic (ref: query_generator.py:334-341 does a monolithic f64 inverse).
+
+    center_pred: [R, 3]; virtual_K, ext_t_inv: [R, 4, 4].  Returns [R, 3].
+    """
+    uvd = center_pred
+    p = jnp.concatenate([uvd[:, :2] * uvd[:, 2:3], uvd[:, 2:3],
+                         jnp.ones_like(uvd[:, :1])], axis=1)        # [R, 4]
+    img2lidar = ext_t_inv @ invert_projection(virtual_K)
+    out = jnp.einsum('rij,rj->ri', img2lidar, p)
+    return out[:, :3]
+
+
+def normalize_points(points: jnp.ndarray, pc_range: Sequence[float]) -> jnp.ndarray:
+    """Map lidar xyz into [0,1]^3 over pc_range (ref: mv2d_head.py:128-134)."""
+    lo = jnp.asarray(pc_range[:3], dtype=points.dtype)
+    hi = jnp.asarray(pc_range[3:], dtype=points.dtype)
+    return (points - lo) / (hi - lo)
+
+
+def denormalize_points(points: jnp.ndarray, pc_range: Sequence[float]) -> jnp.ndarray:
+    lo = jnp.asarray(pc_range[:3], dtype=points.dtype)
+    hi = jnp.asarray(pc_range[3:], dtype=points.dtype)
+    return points * (hi - lo) + lo
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Matches mmdet's inverse_sigmoid: clamp to [0,1], then eps-guard."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
+def project_lidar_to_img(points: jnp.ndarray, lidar2img: jnp.ndarray,
+                         eps: float = 1e-2):
+    """Project lidar xyz [..., 3] with lidar2img [..., 4, 4] -> (uv [..., 2],
+    depth [...])."""
+    p = jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
+    q = jnp.einsum('...ij,...j->...i', lidar2img, p)
+    depth = q[..., 2]
+    uv = q[..., :2] / jnp.maximum(depth[..., None], eps)
+    return uv, depth

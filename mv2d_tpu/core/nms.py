@@ -1,0 +1,160 @@
+"""Padded, fixed-shape NMS for XLA/TPU.
+
+Replaces the mmcv CUDA `nms`/`batched_nms` (used via detection_proposal cfg,
+ref: configs/mv2d/exp/..._ep24.py:128-133) and the mmdet3d rotated BEV NMS
+(`box3d_multiclass_nms`, ref: models/detectors/mv2d.py:277-278).
+
+All functions take and return fixed-size arrays with validity masks so the
+enclosing program compiles once.  Suppression is the exact greedy algorithm
+(score-descending scan) expressed as a `lax.fori_loop`.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as box_utils
+
+_NEG = -1e10
+
+
+def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
+                     iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS given a pairwise IoU matrix of score-sorted candidates.
+
+    iou: [N, N] (row i vs col j, i sorted by descending score), valid: [N].
+    Returns keep mask [N].
+    """
+    n = iou.shape[0]
+    suppress_edge = jnp.triu(iou > iou_threshold, k=1)  # j>i suppressed by i
+
+    def body(i, keep):
+        # if i is kept, suppress all later boxes overlapping it
+        row = suppress_edge[i]
+        return jnp.where(keep[i], keep & ~row, keep)
+
+    keep = jax.lax.fori_loop(0, n, body, valid)
+    return keep
+
+
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+               iou_threshold: float, max_out: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Class-agnostic 2D NMS on (x1,y1,x2,y2) boxes.
+
+    boxes: [N, 4], scores/valid: [N].  Returns (boxes [max_out, 4],
+    scores [max_out], indices-into-input [max_out], valid [max_out]),
+    score-descending.
+    """
+    masked = jnp.where(valid, scores, _NEG)
+    order = jnp.argsort(-masked)
+    b = boxes[order]
+    s = masked[order]
+    v = valid[order]
+    iou = box_utils.box_iou_xyxy(b, b)
+    keep = _greedy_suppress(iou, v, iou_threshold)
+    # compact kept entries to the front (stable: already score-sorted)
+    sel = jnp.argsort(~keep, stable=True)[:max_out]
+    out_valid = keep[sel]
+    return (b[sel], jnp.where(out_valid, s[sel], _NEG), order[sel], out_valid)
+
+
+def multiclass_nms_2d(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      valid: jnp.ndarray, score_thr: float,
+                      iou_threshold: float, nms_pre: int, max_out: int,
+                      class_agnostic: bool = True, min_bbox_size: float = 0.0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-class detection NMS for one image (fixed shapes).
+
+    Mirrors mmdet `multiclass_nms` with the MV2D detection_proposal settings
+    (class-specific regression, class-agnostic suppression; ref exp config
+    `detection_proposal` at ..._ep24.py:128-133 plus min_bbox_size filtering
+    at models/detectors/mv2d.py:75-84).
+
+    boxes: [R, C, 4] class-specific boxes, scores: [R, C] (background column
+    already dropped), valid: [R].
+    Returns (boxes [max_out, 4], scores [max_out], labels [max_out],
+    valid [max_out]).
+    """
+    R, C = scores.shape
+    flat_boxes = boxes.reshape(R * C, 4)
+    flat_scores = scores.reshape(R * C)
+    labels = jnp.tile(jnp.arange(C, dtype=jnp.int32)[None], (R, 1)).reshape(-1)
+    ok = jnp.repeat(valid, C) & (flat_scores > score_thr)
+    if min_bbox_size > 0:
+        wh = flat_boxes[:, 2:4] - flat_boxes[:, 0:2]
+        ok = ok & jnp.all(wh >= min_bbox_size, axis=-1)
+    masked = jnp.where(ok, flat_scores, _NEG)
+    n_pre = min(nms_pre, R * C)
+    top_scores, top_idx = jax.lax.top_k(masked, n_pre)
+    top_boxes = flat_boxes[top_idx]
+    top_labels = labels[top_idx]
+    top_valid = ok[top_idx]
+    if not class_agnostic:
+        # offset boxes per class so cross-class pairs never overlap
+        offs = top_labels.astype(top_boxes.dtype)[:, None] * 1e4
+        nms_boxes = top_boxes + offs
+    else:
+        nms_boxes = top_boxes
+    ob, os, oi, ov = nms_padded(nms_boxes, top_scores, top_valid,
+                                iou_threshold, max_out)
+    return top_boxes[oi], os, top_labels[oi], ov
+
+
+def nms_bev_padded(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
+                   valid: jnp.ndarray, iou_threshold: float, max_out: int):
+    """Rotated BEV NMS. boxes_bev: [N, 5] (cx, cy, w, l, yaw)."""
+    masked = jnp.where(valid, scores, _NEG)
+    order = jnp.argsort(-masked)
+    b = boxes_bev[order]
+    v = valid[order]
+    iou = box_utils.rotated_iou_bev(b, b)
+    keep = _greedy_suppress(iou, v, iou_threshold)
+    sel = jnp.argsort(~keep, stable=True)[:max_out]
+    out_valid = keep[sel]
+    return order[sel], jnp.where(out_valid, masked[order][sel], _NEG), out_valid
+
+
+def box3d_multiclass_nms(boxes3d: jnp.ndarray, boxes_bev: jnp.ndarray,
+                         scores: jnp.ndarray, valid: jnp.ndarray,
+                         score_thr: float, max_per_scene: int,
+                         iou_threshold: float, num_classes: int):
+    """Cross-view 3D box merge (ref: mv2d.py:265-282; mmdet3d
+    box3d_multiclass_nms with use_rotate_nms).
+
+    boxes3d: [N, B] bottom-center boxes, boxes_bev: [N, 5], scores: [N, C+1]
+    (last column = background, ignored), valid: [N].
+    Returns (boxes3d [max_per_scene, B], scores, labels, valid).
+
+    The shipped MV2D test cfg uses nms_thr=1.0 (pass-through dedup,
+    ..._ep24.py:154-158); this implements the general per-class rotated NMS.
+    """
+    N = boxes3d.shape[0]
+    sel_boxes, sel_scores, sel_labels, sel_valid = [], [], [], []
+    for cls in range(num_classes):
+        s = scores[:, cls]
+        ok = valid & (s > score_thr)
+        if iou_threshold >= 1.0:
+            # exact pass-through: suppression can never trigger
+            keep_idx = jnp.arange(N)
+            keep_scores = jnp.where(ok, s, _NEG)
+            keep_valid = ok
+        else:
+            keep_idx, keep_scores, keep_valid = nms_bev_padded(
+                boxes_bev, s, ok, iou_threshold, N)
+        sel_boxes.append(boxes3d[keep_idx])
+        sel_scores.append(keep_scores)
+        sel_labels.append(jnp.full((N,), cls, dtype=jnp.int32))
+        sel_valid.append(keep_valid)
+    all_boxes = jnp.concatenate(sel_boxes, 0)
+    all_scores = jnp.concatenate(sel_scores, 0)
+    all_labels = jnp.concatenate(sel_labels, 0)
+    all_valid = jnp.concatenate(sel_valid, 0)
+    k = min(max_per_scene, all_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(
+        jnp.where(all_valid, all_scores, _NEG), k)
+    out_valid = all_valid[top_idx]
+    return (all_boxes[top_idx], jnp.where(out_valid, top_scores, 0.0),
+            all_labels[top_idx], out_valid)

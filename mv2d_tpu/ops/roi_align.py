@@ -1,0 +1,122 @@
+"""RoIAlign for TPU (XLA gather formulation).
+
+Replaces the mmcv CUDA RoIAlign op (ref call sites: exp config
+`bbox_roi_extractor` at configs/mv2d/exp/..._ep24.py:49-53 and
+models/roi_heads/mv2d_head.py:114-115; plus the mmdet SingleRoIExtractor
+multi-level routing used inside StandardRoIHead).
+
+Semantics follow mmcv RoIAlign(aligned=True): the continuous coordinate of
+output bin (i, j) sample (si, sj) is
+    x = x1 + (j + (sj + 0.5) / S) * bin_w - 0.5 * aligned
+with bilinear interpolation and zero padding outside the map, averaged over
+S*S samples per bin.  The reference configures sampling_ratio in {-1, 0}
+(adaptive = ceil(bin size)); adaptive sample counts are data-dependent and
+would break static shapes, so we use a fixed S (default 2, detectron2's
+standard) - a documented, accuracy-neutral deviation.
+
+Formulated as one batched gather + weighted sum -> XLA lowers it to efficient
+dynamic-gathers; channels stay in the last (lane) dimension.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jnp.ndarray, view_idx: jnp.ndarray,
+                     x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """feat: [V, H, W, C]; view_idx: [R]; x, y: [R, P] continuous coords.
+    Returns [R, P, C] with zeros outside the feature map (mmcv border rule:
+    points with x < -1 or x > W are zero, border-clamped inside)."""
+    V, H, W, C = feat.shape
+    inside = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    lx = x - x0
+    ly = y - y0
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    flat = feat.reshape(V * H * W, C)
+    base = view_idx[:, None] * (H * W)
+
+    def g(yi, xi):
+        return flat[base + yi * W + xi]                     # [R, P, C]
+
+    w00 = ((1 - ly) * (1 - lx))[..., None]
+    w01 = ((1 - ly) * lx)[..., None]
+    w10 = (ly * (1 - lx))[..., None]
+    w11 = (ly * lx)[..., None]
+    out = w00 * g(y0i, x0i) + w01 * g(y0i, x1i) + \
+        w10 * g(y1i, x0i) + w11 * g(y1i, x1i)
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
+              spatial_scale: float, output_size: int = 7,
+              sampling_ratio: int = 2, aligned: bool = True) -> jnp.ndarray:
+    """RoIAlign.
+
+    feat: [V, H, W, C] (channels-last); rois: [R, 4] (x1,y1,x2,y2) in IMAGE
+    pixels; view_idx: [R] which view each roi lives in.
+    Returns [R, output_size, output_size, C].
+    """
+    R = rois.shape[0]
+    S = max(sampling_ratio, 1)
+    O = output_size
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * spatial_scale - offset
+    y1 = rois[:, 1] * spatial_scale - offset
+    x2 = rois[:, 2] * spatial_scale - offset
+    y2 = rois[:, 3] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / O
+    bin_h = roi_h / O
+
+    # sample grid: out bin index o in [0,O), sample s in [0,S)
+    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+    grid = grid.reshape(-1)                                  # [O*S]
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]        # [R, O*S]
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]
+    # full sample lattice [R, O*S, O*S]
+    X = jnp.broadcast_to(xs[:, None, :], (R, O * S, O * S)).reshape(R, -1)
+    Y = jnp.broadcast_to(ys[:, :, None], (R, O * S, O * S)).reshape(R, -1)
+    vals = _bilinear_gather(feat, view_idx.astype(jnp.int32), X, Y)
+    C = feat.shape[-1]
+    vals = vals.reshape(R, O, S, O, S, C)
+    return vals.mean(axis=(2, 4))
+
+
+def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                         view_idx: jnp.ndarray,
+                         strides: Sequence[int], output_size: int = 7,
+                         sampling_ratio: int = 2,
+                         finest_scale: float = 56.0) -> jnp.ndarray:
+    """mmdet SingleRoIExtractor level routing: level = clamp(floor(log2(
+    sqrt(area) / finest_scale + 1e-6)), 0, L-1), then RoIAlign on that level.
+
+    TPU strategy: compute RoIAlign against every level and select - the align
+    itself is cheap relative to the backbone, and this keeps one fused program.
+    """
+    area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]),
+                    0.0, None)
+    scale = jnp.sqrt(area)
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
+    outs = []
+    for i, f in enumerate(feats):
+        outs.append(roi_align(f, rois, view_idx, 1.0 / strides[i],
+                              output_size, sampling_ratio))
+    stacked = jnp.stack(outs, axis=0)                        # [L, R, O, O, C]
+    onehot = (lvl[None, :] == jnp.arange(len(feats))[:, None])
+    return jnp.einsum('lrijc,lr->rijc', stacked,
+                      onehot.astype(stacked.dtype))

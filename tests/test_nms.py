@@ -1,0 +1,85 @@
+import jax.numpy as jnp
+import numpy as np
+
+from mv2d_tpu.core import nms as N
+
+
+def ref_greedy_nms(boxes, scores, thr):
+    """Plain numpy greedy NMS oracle."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (a + b - inter + 1e-4)
+        suppressed |= iou > thr
+        suppressed[i] = True  # self; already kept
+    return keep
+
+
+def test_nms_matches_numpy_oracle(rng):
+    n = 64
+    boxes = rng.uniform(0, 100, (n, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 40, (n, 2))], -1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    _, out_scores, out_idx, out_valid = N.nms_padded(
+        jnp.asarray(boxes, dtype=jnp.float32), jnp.asarray(scores),
+        jnp.asarray(valid), 0.5, n)
+    got = list(np.asarray(out_idx)[np.asarray(out_valid)])
+    want = ref_greedy_nms(boxes, scores, 0.5)
+    assert got == want
+
+
+def test_nms_respects_valid_mask(rng):
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                        dtype=jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.asarray([False, True, True])
+    _, _, idx, v = N.nms_padded(boxes, scores, valid, 0.5, 3)
+    kept = set(np.asarray(idx)[np.asarray(v)].tolist())
+    assert kept == {1, 2}
+
+
+def test_multiclass_nms_shapes_and_threshold(rng):
+    R, C = 20, 10
+    boxes = jnp.asarray(rng.uniform(0, 200, (R, C, 2)), dtype=jnp.float32)
+    boxes = jnp.concatenate([boxes, boxes + 50.0], axis=-1)
+    scores = jnp.asarray(rng.uniform(0, 1, (R, C)), dtype=jnp.float32)
+    valid = jnp.ones((R,), dtype=bool)
+    ob, os_, ol, ov = N.multiclass_nms_2d(boxes, scores, valid,
+                                          score_thr=0.5, iou_threshold=0.6,
+                                          nms_pre=100, max_out=16,
+                                          min_bbox_size=8)
+    assert ob.shape == (16, 4) and ol.shape == (16,)
+    s = np.asarray(os_)[np.asarray(ov)]
+    assert (s > 0.5).all()
+    # descending scores
+    assert (np.diff(s) <= 1e-6).all()
+
+
+def test_box3d_multiclass_nms_passthrough(rng):
+    n, C = 30, 10
+    boxes3d = jnp.asarray(rng.uniform(-10, 10, (n, 9)), dtype=jnp.float32)
+    bev = jnp.asarray(rng.uniform(-10, 10, (n, 5)), dtype=jnp.float32)
+    scores = np.zeros((n, C + 1), np.float32)
+    labels = rng.integers(0, C, n)
+    s = rng.uniform(0.1, 1, n)
+    scores[np.arange(n), labels] = s
+    out_b, out_s, out_l, out_v = N.box3d_multiclass_nms(
+        boxes3d, bev, jnp.asarray(scores), jnp.ones((n,), bool),
+        score_thr=0.0, max_per_scene=300, iou_threshold=1.0, num_classes=C)
+    got = np.sort(np.asarray(out_s)[np.asarray(out_v)])
+    np.testing.assert_allclose(got, np.sort(s), rtol=1e-5)
+    # labels preserved
+    lv = np.asarray(out_l)[np.asarray(out_v)]
+    assert set(lv.tolist()) <= set(labels.tolist())
