@@ -1,0 +1,159 @@
+"""PETR-style 3D position embedding (camera-ray frustum -> lidar -> MLP).
+
+Re-implements the reference PE stack (ref: models/utils/pe.py:51-169,
+pos2posemb3d at :21-33, SELayer at :36-48) and SinePositionalEncoding3D
+(models/utils/positional_encoding.py:15-96), TPU-native:
+  * img2lidar matrices come pre-inverted (host f64) via CameraParams,
+  * the padding mask is computed directly at feature resolution with the same
+    nearest-neighbour semantics as the reference's F.interpolate,
+  * everything is channels-last and static-shape.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import inverse_sigmoid, lid_depth_bins
+
+
+def pos2posemb3d(pos: jnp.ndarray, num_pos_feats: int = 128,
+                 temperature: float = 10000.0) -> jnp.ndarray:
+    """[..., 3] normalized xyz -> [..., 3*num_pos_feats] sine embedding.
+
+    Output channel order is (y, x, z), matching ref pe.py:32."""
+    scale = 2 * math.pi
+    pos = pos * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+
+    def emb(p):
+        x = p[..., None] / dim_t
+        return jnp.stack([jnp.sin(x[..., 0::2]), jnp.cos(x[..., 1::2])],
+                         axis=-1).reshape(*x.shape[:-1], -1)
+
+    return jnp.concatenate([emb(pos[..., 1]), emb(pos[..., 0]),
+                            emb(pos[..., 2])], axis=-1)
+
+
+def padding_mask_at_feature_res(img_shapes: jnp.ndarray,
+                                pad_shape: Tuple[int, int],
+                                feat_hw: Tuple[int, int]) -> jnp.ndarray:
+    """True = padding. img_shapes: [V, 2] (h, w) valid region per view.
+
+    Matches mask-at-full-res + nearest interpolate (ref pe.py:146-155)."""
+    H, W = feat_hw
+    pad_h, pad_w = pad_shape
+    ys = jnp.floor(jnp.arange(H) * (pad_h / H)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(W) * (pad_w / W)).astype(jnp.int32)
+    inside = (ys[None, :, None] < img_shapes[:, 0, None, None]) & \
+             (xs[None, None, :] < img_shapes[:, 1, None, None])
+    return ~inside                                          # [V, H, W]
+
+
+def sine_positional_encoding_3d(mask: jnp.ndarray, num_feats: int = 128,
+                                temperature: float = 10000.0,
+                                normalize: bool = True,
+                                scale: float = 2 * math.pi,
+                                eps: float = 1e-6,
+                                stride: int = 0) -> jnp.ndarray:
+    """SinePositionalEncoding3D on a [V, H, W] padding mask (batch folded).
+
+    Returns [V, H, W, 3*num_feats] with channel order (n, y, x)."""
+    not_mask = (~mask).astype(jnp.float32)
+    n_embed = jnp.cumsum(not_mask, axis=0)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    if stride > 0:
+        y_embed = (y_embed - 0.5) * stride
+        x_embed = (x_embed - 0.5) * stride
+    if normalize:
+        n_embed = n_embed / (n_embed[-1:, :, :] + eps) * scale
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_feats)
+
+    def emb(e):
+        p = e[..., None] / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         axis=-1).reshape(*p.shape[:-1], -1)
+
+    return jnp.concatenate([emb(n_embed), emb(y_embed), emb(x_embed)],
+                           axis=-1)
+
+
+class SELayer(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        s = nn.Conv(self.channels, (1, 1), name='conv_reduce')(x_se)
+        s = nn.relu(s)
+        s = nn.Conv(self.channels, (1, 1), name='conv_expand')(s)
+        return x * nn.sigmoid(s)
+
+
+class PE(nn.Module):
+    """3D position embedding for one FPN level.
+
+    __call__(feat [V, H, W, C], img2lidar [V, 4, 4], img_shapes [V, 2],
+             pad_shape (H, W)) -> pos_embed [V, H, W, C].
+    """
+    embed_dims: int = 256
+    depth_num: int = 64
+    depth_start: float = 1.0
+    position_range: Sequence[float] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    lid: bool = True
+    with_fpe: bool = True
+    stride: int = 16
+    num_sine_feats: int = 128
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, img2lidar: jnp.ndarray,
+                 img_shapes: jnp.ndarray, pad_shape: Tuple[int, int]):
+        V, H, W, C = feat.shape
+        pr = self.position_range
+        # pixel centers in padded-image coordinates (ref pe.py:93-94)
+        coords_h = (jnp.arange(H, dtype=jnp.float32) + 0.5) * pad_shape[0] / H - 0.5
+        coords_w = (jnp.arange(W, dtype=jnp.float32) + 0.5) * pad_shape[1] / W - 0.5
+        if self.lid:
+            coords_d = lid_depth_bins(self.depth_start, pr[3], self.depth_num)
+        else:
+            coords_d = self.depth_start + \
+                (pr[3] - self.depth_start) / self.depth_num * \
+                jnp.arange(self.depth_num, dtype=jnp.float32)
+        D = self.depth_num
+        # frustum points (u*d, v*d, d, 1): [H, W, D, 4]
+        u = coords_w[None, :, None]
+        v = coords_h[:, None, None]
+        d = coords_d[None, None, :]
+        eps = 1e-3
+        dz = jnp.maximum(d, eps)
+        ones = jnp.ones((H, W, D), dtype=jnp.float32)
+        frustum = jnp.stack([jnp.broadcast_to(u * dz, (H, W, D)),
+                             jnp.broadcast_to(v * dz, (H, W, D)),
+                             jnp.broadcast_to(d, (H, W, D)), ones], axis=-1)
+        # lift to lidar frame per view: [V, H, W, D, 3]
+        pts = jnp.einsum('vij,hwdj->vhwdi', img2lidar, frustum)[..., :3]
+        lo = jnp.asarray(pr[:3]); hi = jnp.asarray(pr[3:])
+        pts = (pts - lo) / (hi - lo)
+        pos = inverse_sigmoid(pts)
+        pos = pos.transpose(0, 1, 2, 4, 3).reshape(V, H, W, 3 * D)
+        # position encoder MLP (1x1 convs: 3D -> 4*C -> C)
+        x = nn.Conv(self.embed_dims * 4, (1, 1), name='position_encoder_0')(pos)
+        x = nn.relu(x)
+        x = nn.Conv(self.embed_dims, (1, 1), name='position_encoder_1')(x)
+        if self.with_fpe:
+            x = SELayer(self.embed_dims, name='fpe')(x, feat)
+        # sine positional encoding adapted by MLP (ref pe.py:163-166)
+        mask = padding_mask_at_feature_res(img_shapes, pad_shape, (H, W))
+        sin_embed = sine_positional_encoding_3d(mask, self.num_sine_feats,
+                                                stride=self.stride)
+        s = nn.Conv(self.embed_dims * 4, (1, 1), name='adapt_pos3d_0')(sin_embed)
+        s = nn.relu(s)
+        s = nn.Conv(self.embed_dims, (1, 1), name='adapt_pos3d_1')(s)
+        return x + s

@@ -1,0 +1,82 @@
+"""Modulated deformable convolution v2 (DCNv2) for TPU.
+
+Replaces the mmcv CUDA ModulatedDeformConv2d used in the two-frame recipe's
+backbone stages 3-4 (ref: configs/mv2d/exp/..._ep24.py:28-30).
+
+Formulation: a regular conv branch predicts per-tap offsets and modulation
+masks; each of the K*K taps bilinearly samples the input at its offset
+position; the output is an einsum of the stacked samples with the kernel
+weights - everything lowers to gathers + one MXU contraction (no scatter,
+no dynamic shapes).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _dense_bilinear(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """x: [V, H, W, C]; sx, sy: [V, P] continuous coords. -> [V, P, C].
+
+    Zero padding outside the map (mmcv deform-conv border rule)."""
+    V, H, W, C = x.shape
+    inside = (sx > -1.0) & (sx < W) & (sy > -1.0) & (sy < H)
+    sx = jnp.clip(sx, 0.0, W - 1)
+    sy = jnp.clip(sy, 0.0, H - 1)
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    x1 = jnp.minimum(x0 + 1, W - 1); y1 = jnp.minimum(y0 + 1, H - 1)
+    lx = sx - x0; ly = sy - y0
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    flat = x.reshape(V, H * W, C)
+
+    def g(yi, xi):
+        idx = yi * W + xi                              # [V, P]
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    out = ((1 - ly) * (1 - lx))[..., None] * g(y0i, x0i) + \
+          ((1 - ly) * lx)[..., None] * g(y0i, x1i) + \
+          (ly * (1 - lx))[..., None] * g(y1i, x0i) + \
+          (ly * lx)[..., None] * g(y1i, x1i)
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+class ModulatedDeformConv(nn.Module):
+    """DCNv2 3x3 conv (deform_groups=1, matching the MV2D recipe)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        V, H, W, C = x.shape
+        K = self.kernel
+        pad = K // 2
+        # offset/mask branch: zero-init so training starts as a plain conv
+        # (mmcv init_offset convention)
+        om = nn.Conv(3 * K * K, (K, K), strides=self.stride,
+                     padding=[(pad, pad)] * 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name='conv_offset')(x)
+        Ho, Wo = om.shape[1], om.shape[2]
+        off = om[..., :2 * K * K].reshape(V, Ho, Wo, K * K, 2)
+        mask = nn.sigmoid(om[..., 2 * K * K:])              # [V, Ho, Wo, K*K]
+
+        ys = jnp.arange(Ho, dtype=x.dtype) * self.stride - pad
+        xs = jnp.arange(Wo, dtype=x.dtype) * self.stride - pad
+        ky, kx = jnp.meshgrid(jnp.arange(K, dtype=x.dtype),
+                              jnp.arange(K, dtype=x.dtype), indexing='ij')
+        base_y = ys[:, None, None] + ky.reshape(-1)[None, None, :]
+        base_x = xs[None, :, None] + kx.reshape(-1)[None, None, :]
+        # [V, Ho, Wo, K*K]  (mmcv offset channel order: (dy, dx) per tap)
+        sy = base_y[None] + off[..., 0]
+        sx = base_x[None] + off[..., 1]
+        P = Ho * Wo * K * K
+        samples = _dense_bilinear(x, sx.reshape(V, P), sy.reshape(V, P))
+        samples = samples.reshape(V, Ho, Wo, K * K, C)
+        samples = samples * mask[..., None]
+        w = self.param('kernel', nn.initializers.he_normal(),
+                       (K * K, C, self.features))
+        return jnp.einsum('vhwkc,kcf->vhwf', samples, w,
+                          preferred_element_type=jnp.float32).astype(x.dtype)

@@ -1,0 +1,182 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv2d_tpu.nn.decoder import CrossAttentionBoxHead
+from mv2d_tpu.nn.fpn import FPN
+from mv2d_tpu.nn.pe import PE, padding_mask_at_feature_res, pos2posemb3d
+from mv2d_tpu.nn.query_generator import QueryGenerator
+from mv2d_tpu.nn.rcnn import Shared2FCBBoxHead, decode_detections
+from mv2d_tpu.nn.resnet import ResNet
+from mv2d_tpu.nn.rpn import (RPNHead, bbox2delta, delta2bbox, grid_anchors,
+                             rpn_proposals)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_resnet50_stage_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)), dtype=jnp.float32)
+    model = ResNet(depth=50)
+    params = model.init(KEY, x)
+    outs = model.apply(params, x)
+    shapes = [o.shape for o in outs]
+    assert shapes == [(1, 16, 24, 256), (1, 8, 12, 512),
+                      (1, 4, 6, 1024), (1, 2, 3, 2048)]
+
+
+def test_fpn_five_levels(rng):
+    ins = [jnp.asarray(rng.normal(size=(1, 2 ** (4 - i), 3 * 2 ** (4 - i), c)),
+                       dtype=jnp.float32)
+           for i, c in enumerate([256, 512, 1024, 2048])]
+    fpn = FPN(out_channels=64, num_outs=5)
+    params = fpn.init(KEY, ins)
+    outs = fpn.apply(params, ins)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 16, 48, 64)
+    assert outs[4].shape == (1, 1, 3, 64)
+
+
+def test_neck_fpn_selects_p4(rng):
+    ins = [jnp.asarray(rng.normal(size=(1, 2 ** (5 - i), 2 ** (5 - i), 8)),
+                       dtype=jnp.float32) for i in range(5)]
+    neck = FPN(out_channels=8, num_outs=1, start_level=2, end_level=2)
+    params = neck.init(KEY, ins)
+    outs = neck.apply(params, ins)
+    assert len(outs) == 1 and outs[0].shape == (1, 8, 8, 8)
+
+
+def test_delta_coding_roundtrip(rng):
+    anchors = jnp.asarray(rng.uniform(0, 100, (10, 2)))
+    anchors = jnp.concatenate([anchors, anchors + rng.uniform(5, 30, (10, 2))],
+                              -1).astype(jnp.float32)
+    gt = anchors + 3.0
+    d = bbox2delta(anchors, gt)
+    rec = delta2bbox(anchors, d)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), atol=1e-3)
+
+
+def test_grid_anchors_layout():
+    a = grid_anchors((2, 3), 16)
+    assert a.shape == (2 * 3 * 3, 4)
+    # first anchor centered at (0, 0): ratio 0.5 -> w = 16*8/sqrt(.5)
+    w = 16 * 8 / np.sqrt(0.5)
+    np.testing.assert_allclose(a[0], [-w / 2, -w * 0.5 / 2, w / 2, w * 0.5 / 2],
+                               rtol=1e-5)
+
+
+def test_rpn_proposals_end_to_end(rng):
+    V = 2
+    shapes = [(16, 24), (8, 12), (4, 6), (2, 3), (1, 2)]
+    strides = [4, 8, 16, 32, 64]
+    feats = [jnp.asarray(rng.normal(size=(V, h, w, 32)), dtype=jnp.float32)
+             for h, w in shapes]
+    head = RPNHead()
+    params = head.init(KEY, feats)
+    scores, deltas = head.apply(params, feats)
+    boxes, s, valid = rpn_proposals(scores, deltas, strides, (64, 96),
+                                    nms_pre=50, max_per_img=20)
+    assert boxes.shape == (V, 20, 4) and valid.shape == (V, 20)
+    b = np.asarray(boxes)[np.asarray(valid)]
+    assert (b[:, 2] >= b[:, 0]).all() and (b[:, 0] >= 0).all()
+    assert (b[:, 2] <= 96).all() and (b[:, 3] <= 64).all()
+
+
+def test_rcnn_head_and_decode(rng):
+    roi_feats = jnp.asarray(rng.normal(size=(12, 7, 7, 16)), dtype=jnp.float32)
+    head = Shared2FCBBoxHead(num_classes=10, fc_out_channels=64)
+    params = head.init(KEY, roi_feats)
+    logits, deltas = head.apply(params, roi_feats)
+    assert logits.shape == (12, 11) and deltas.shape == (12, 40)
+    props = jnp.asarray(rng.uniform(10, 50, (12, 4)), dtype=jnp.float32)
+    props = props.at[:, 2:].add(60.0)
+    boxes, scores = decode_detections(props, logits, deltas, (128, 128))
+    assert boxes.shape == (12, 10, 4) and scores.shape == (12, 10)
+    s = np.asarray(jax.nn.softmax(logits, -1))
+    np.testing.assert_allclose(np.asarray(scores), s[:, :10], rtol=1e-5)
+
+
+def test_pos2posemb3d_order():
+    p = jnp.asarray([[0.3, 0.6, 0.9]])
+    e = np.asarray(pos2posemb3d(p, num_pos_feats=4))
+    assert e.shape == (1, 12)
+    # first block is the y coordinate (ref pe.py:32 order y, x, z)
+    np.testing.assert_allclose(e[0, 0], np.sin(0.6 * 2 * np.pi), rtol=1e-5)
+    np.testing.assert_allclose(e[0, 4], np.sin(0.3 * 2 * np.pi), rtol=1e-5)
+
+
+def test_padding_mask():
+    shapes = jnp.asarray([[60, 90], [30, 90]])
+    m = np.asarray(padding_mask_at_feature_res(shapes, (64, 96), (16, 24)))
+    assert not m[0, 0, 0] and not m[0, 14, 22]
+    assert m[1, 10, 0]          # below 30px valid rows in view 1
+    assert not m[1, 5, 0]
+
+
+def test_pe_shapes(rng):
+    V, H, W, C = 2, 8, 22, 32
+    feat = jnp.asarray(rng.normal(size=(V, H, W, C)), dtype=jnp.float32)
+    img2lidar = jnp.asarray(np.tile(np.eye(4), (V, 1, 1)), dtype=jnp.float32)
+    shapes = jnp.asarray([[128, 352], [128, 352]])
+    pe = PE(embed_dims=C, depth_num=8, num_sine_feats=C // 2)
+    params = pe.init(KEY, feat, img2lidar, shapes, (128, 352))
+    out = pe.apply(params, feat, img2lidar, shapes, (128, 352))
+    assert out.shape == (V, H, W, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_query_generator_unprojects(rng):
+    R, C = 5, 16
+    roi_feats = jnp.asarray(rng.normal(size=(R, 7, 7, C)), dtype=jnp.float32)
+    K = np.tile(np.eye(4, dtype=np.float32), (R, 1, 1))
+    K[:, 0, 0] = K[:, 1, 1] = 100.0
+    ext = np.tile(np.eye(4, dtype=np.float32), (R, 1, 1))
+    qg = QueryGenerator(in_channels=C, conv_out_channels=C,
+                        fc_out_channels=32, extra_channels=(16, 8))
+    params = qg.init(KEY, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                     jnp.ones(R, dtype=bool))
+    ref, uvd = qg.apply(params, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                        jnp.ones(R, dtype=bool))
+    assert ref.shape == (R, 3) and uvd.shape == (R, 3)
+    # identity extrinsic: z_cam == depth
+    np.testing.assert_allclose(np.asarray(ref[:, 2]), np.asarray(uvd[:, 2]),
+                               rtol=1e-4)
+
+
+def test_box_head_mask_semantics(rng):
+    Q, K, C = 6, 10, 32
+    refs = jnp.asarray(rng.uniform(0.2, 0.8, (Q, 3)), dtype=jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    kpos = jnp.zeros_like(keys)
+    cross = np.zeros((Q, K), bool)
+    cross[:, :4] = True
+    head = CrossAttentionBoxHead(embed_dims=C, num_layers=2, num_heads=4,
+                                 feedforward_channels=64)
+    params = head.init(KEY, refs, keys, kpos, None, jnp.asarray(cross))
+    cls1, box1 = head.apply(params, refs, keys, kpos, None,
+                            jnp.asarray(cross))
+    assert cls1.shape == (2, Q, 10) and box1.shape == (2, Q, 10)
+    # perturb a masked-out key: outputs must not change
+    keys2 = keys.at[7].add(50.0)
+    cls2, box2 = head.apply(params, refs, keys2, kpos, None,
+                            jnp.asarray(cross))
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls2), atol=1e-5)
+    # perturb a visible key: outputs must change
+    keys3 = keys.at[1].add(50.0)
+    cls3, _ = head.apply(params, refs, keys3, kpos, None, jnp.asarray(cross))
+    assert np.abs(np.asarray(cls1) - np.asarray(cls3)).max() > 1e-4
+    # centers decode within pc_range
+    b = np.asarray(box1)
+    assert (b[..., 0] >= -51.2).all() and (b[..., 0] <= 51.2).all()
+
+
+def test_box_head_roi_mode(rng):
+    Q, Kq, C = 4, 6, 32
+    refs = jnp.asarray(rng.uniform(0.2, 0.8, (Q, 3)), dtype=jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(Q, Kq, C)), dtype=jnp.float32)
+    kpos = jnp.zeros_like(keys)
+    cross = jnp.asarray(np.ones((Q, Kq), bool))
+    head = CrossAttentionBoxHead(embed_dims=C, num_layers=2, num_heads=4,
+                                 feedforward_channels=64)
+    params = head.init(KEY, refs, keys, kpos, None, cross)
+    cls, box = head.apply(params, refs, keys, kpos, None, cross)
+    assert cls.shape == (2, Q, 10)
