@@ -1,0 +1,112 @@
+"""Two-stage 2D detector (Faster/Mask R-CNN minus mask branch).
+
+Re-implements the slice of mmdet the reference wraps (ref:
+models/detectors/wrap_detector.py:7-87 + configs/mv2d/detectors/
+maskrcnn_r50.py): ResNet+FPN backbone shared with the 3D head, RPN proposals,
+RoIAlign + Shared2FC head, and the runtime-swappable detection config
+(`set_detection_cfg`) realized as an explicit `DetectionProposalCfg` argument.
+
+All outputs are padded fixed-shape `Proposals`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..core.nms import multiclass_nms_2d
+from ..ops.roi_align import multilevel_roi_align
+from .. import nn as mnn
+from ..nn.fpn import FPN
+from ..nn.rcnn import Shared2FCBBoxHead, decode_detections
+from ..nn.resnet import ResNet
+from ..nn.rpn import RPNHead, rpn_proposals
+
+
+class DetectionProposalCfg(NamedTuple):
+    """Mirrors the reference's detection_proposal dict
+    (..._ep24.py:128-133)."""
+    score_thr: float = 0.05
+    nms_pre: int = 1000
+    max_per_img: int = 75
+    iou_threshold: float = 0.6
+    min_bbox_size: float = 8.0
+    rpn_nms_pre: int = 1000
+    rpn_max_per_img: int = 1000
+    rpn_iou_threshold: float = 0.7
+
+
+@struct.dataclass
+class Proposals:
+    boxes: jnp.ndarray     # [V, P, 4] (x1, y1, x2, y2) image pixels
+    scores: jnp.ndarray    # [V, P]
+    labels: jnp.ndarray    # [V, P] int32
+    valid: jnp.ndarray     # [V, P] bool
+
+
+class TwoStageDetector(nn.Module):
+    depth: int = 50
+    num_classes: int = 10
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    fpn_channels: int = 256
+    rcnn_fc_channels: int = 1024
+    fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth,
+                               stage_with_dcn=self.stage_with_dcn)
+        self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
+        self.rpn_head = RPNHead(feat_channels=self.fpn_channels)
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes,
+            fc_out_channels=self.rcnn_fc_channels)
+
+    def extract_feat(self, imgs: jnp.ndarray) -> Sequence[jnp.ndarray]:
+        """imgs: [V, H, W, 3] -> FPN levels p2..p6 (channels-last)."""
+        return self.fpn(self.backbone(imgs))
+
+    def rpn(self, feats: Sequence[jnp.ndarray],
+            image_shape: Tuple[int, int], cfg: DetectionProposalCfg):
+        scores, deltas = self.rpn_head(feats)
+        return rpn_proposals(scores, deltas, self.fpn_strides, image_shape,
+                             nms_pre=cfg.rpn_nms_pre,
+                             max_per_img=cfg.rpn_max_per_img,
+                             iou_threshold=cfg.rpn_iou_threshold)
+
+    def roi_forward(self, feats: Sequence[jnp.ndarray],
+                    rois: jnp.ndarray, view_idx: jnp.ndarray):
+        """rois: [N, 4] image-pixel boxes; view_idx: [N]."""
+        roi_feats = multilevel_roi_align(
+            list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
+            output_size=7, sampling_ratio=2)
+        return self.bbox_head(roi_feats)
+
+    def detect(self, feats: Sequence[jnp.ndarray],
+               image_shape: Tuple[int, int],
+               cfg: DetectionProposalCfg) -> Proposals:
+        """Full 2D detection -> padded per-view Proposals (the reference's
+        simple_test_w_feat + process_2d_detections,
+        wrap_detector.py:73-87 / mv2d.py:60-86)."""
+        V = feats[0].shape[0]
+        prop_boxes, _, prop_valid = self.rpn(feats, image_shape, cfg)
+        Rp = prop_boxes.shape[1]
+        flat_rois = prop_boxes.reshape(V * Rp, 4)
+        view_idx = jnp.repeat(jnp.arange(V), Rp)
+        cls_logits, deltas = self.roi_forward(feats, flat_rois, view_idx)
+
+        def decode_one(props, logits, dl, valid):
+            boxes, scores = decode_detections(props, logits, dl, image_shape,
+                                              self.num_classes)
+            return multiclass_nms_2d(
+                boxes, scores, valid, cfg.score_thr, cfg.iou_threshold,
+                cfg.nms_pre, cfg.max_per_img,
+                min_bbox_size=cfg.min_bbox_size)
+
+        boxes, scores, labels, valid = jax.vmap(decode_one)(
+            prop_boxes, cls_logits.reshape(V, Rp, -1),
+            deltas.reshape(V, Rp, -1), prop_valid)
+        return Proposals(boxes=boxes, scores=scores, labels=labels,
+                         valid=valid)

@@ -17,7 +17,11 @@ from flax import linen as nn
 from ..ops.dcn import ModulatedDeformConv
 from .layers import FrozenBatchNorm
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+STAGE_BLOCKS = {
+    10: (1, 1, 1, 1),   # miniature bottleneck net for tests/dry-runs
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
 
 
 class Bottleneck(nn.Module):
