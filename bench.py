@@ -1,0 +1,78 @@
+"""Benchmark: MV2D-T R50 1408x512 multi-view inference, samples/sec/chip.
+
+Runs the flagship two-frame model (12 views @ 512x1408) end to end - 2D
+detection, query generation, correlation, sparse decoder, NMS-free decode,
+cross-view merge - on the available accelerator and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline uses an estimated A100 fp16 throughput for the reference
+implementation (mmdet3d benchmark.py protocol) of 6.5 samples/sec; the
+reference repo publishes no speed numbers (BASELINE.md), and the driver
+target is >= 10x that per v5e chip.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_SPS = 6.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mv2d_tpu import configs
+    from mv2d_tpu.core.geometry import prepare_camera_params
+    from mv2d_tpu.models.mv2d import MV2D
+    from __graft_entry__ import _rig
+
+    cfg = configs.mv2d_t_r50()
+    V = cfg.total_views
+    K, E = _rig(V, cfg.image_size)
+    cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)),
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    model = MV2D(cfg)
+    variables = model.init(jax.random.PRNGKey(0), imgs, cam, img_shapes)
+
+    # bf16 compute: cast params (fp32 geometry islands are explicit in-model)
+    def to_bf16(x):
+        return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+
+    variables_h = jax.tree.map(to_bf16, variables)
+    imgs_h = imgs.astype(jnp.bfloat16)
+
+    fwd = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes))
+
+    def run(vs, im, tag):
+        out = fwd(vs, im)
+        jax.block_until_ready(out)
+        for _ in range(4):
+            jax.block_until_ready(fwd(vs, im))
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(vs, im)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return n / dt
+
+    try:
+        sps = run(variables_h, imgs_h, 'bf16')
+        mode = 'bf16'
+    except Exception:
+        sps = run(variables, imgs, 'f32')
+        mode = 'f32'
+
+    print(json.dumps({
+        "metric": f"MV2D-T R50 1408x512 val inference throughput ({mode})",
+        "value": round(sps, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / A100_BASELINE_SPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

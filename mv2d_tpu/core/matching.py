@@ -118,6 +118,9 @@ def hungarian_assign(cost: jnp.ndarray, query_valid: jnp.ndarray,
     #valid queries >= #valid gts, as in DETR training).
     """
     Q, G = cost.shape
+    # matching is not differentiated (ref detaches the cost matrix,
+    # hungarian_assigner_3d.py:130); also required for pure_callback under AD
+    cost = jax.lax.stop_gradient(cost)
     c = jnp.where(query_valid[:, None] & gt_valid[None, :], cost, _BIG)
     # invalid gt columns get a uniform huge cost; the solver still assigns
     # them (rectangular LSA assigns all G columns when Q >= G) but the

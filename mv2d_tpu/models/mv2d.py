@@ -99,6 +99,14 @@ class GroundTruth3D:
 
 
 @struct.dataclass
+class GroundTruth2D:
+    """Padded per-view 2D GT (for the base detector + GT complement)."""
+    boxes: jnp.ndarray    # [V, G2, 4] (x1, y1, x2, y2)
+    labels: jnp.ndarray   # [V, G2] int32
+    valid: jnp.ndarray    # [V, G2] bool
+
+
+@struct.dataclass
 class DNInfo:
     """Denoising-query bookkeeping for the loss (ref prepare_for_dn,
     mv2d_s_head.py:39-120)."""
@@ -366,3 +374,63 @@ class MV2D(nn.Module):
             p4, pos, proposals, cam, img_shapes, gt=gt, dn_rng=dn_rng,
             deterministic=deterministic,
             mean_time_delta=self._mean_time_delta(cam))
+
+    # --------------------------------------------------------- full training
+
+    def complement_2d_gt(self, proposals: Proposals,
+                         gt2d: GroundTruth2D) -> Proposals:
+        """Append GT boxes the detector missed (max IoU < thr) as proposals
+        (ref: mv2d.py:104-117, thr = train_cfg complement_2d_gt = 0.4)."""
+        c = self.cfg
+        iou = box_utils.box_iou_xyxy(gt2d.boxes, proposals.boxes)  # [V,G2,P]
+        iou = jnp.where(proposals.valid[:, None, :], iou, 0.0)
+        missed = iou.max(-1) < c.complement_2d_gt
+        wh = gt2d.boxes[..., 2:4] - gt2d.boxes[..., 0:2]
+        big_enough = jnp.all(
+            wh >= c.proposal_train.min_bbox_size, axis=-1)
+        comp_valid = gt2d.valid & missed & big_enough
+        boxes = jnp.concatenate([proposals.boxes, gt2d.boxes], axis=1)
+        valid = jnp.concatenate([proposals.valid, comp_valid], axis=1)
+        scores = jnp.concatenate(
+            [proposals.scores, jnp.ones_like(gt2d.boxes[..., 0])], axis=1)
+        labels = jnp.concatenate([proposals.labels, gt2d.labels], axis=1)
+        return Proposals(boxes=boxes, scores=scores, labels=labels,
+                         valid=valid)
+
+    def forward_train(self, imgs: jnp.ndarray, cam: CameraParams,
+                      img_shapes: jnp.ndarray, gt2d: GroundTruth2D,
+                      gt3d: GroundTruth3D):
+        """Full training forward (ref: MV2D.forward_train, mv2d.py:129-213 /
+        MV2DT, mv2d_t.py:27-119).
+
+        Returns (head_outputs: ForwardOutputs, detector2d_raw: dict) - losses
+        are assembled in train/train_step.py.
+        """
+        from ..ops.grid_mask import grid_mask as grid_mask_fn
+        c = self.cfg
+        imgs = grid_mask_fn(self.make_rng('aug'), imgs)
+        fpn_feats, p4 = self.extract_feats(imgs)
+
+        # ---- 2D detector raw outputs for RPN/RCNN losses (current frame)
+        rpn_scores, rpn_deltas = self.base_detector.rpn_head(fpn_feats)
+
+        # ---- no-grad 2D detections -> proposals (+ GT complement)
+        feats_sg = tuple(jax.lax.stop_gradient(f) for f in fpn_feats)
+        proposals = self.base_detector.detect(feats_sg, c.image_size,
+                                              c.proposal_train)
+        proposals = self.complement_2d_gt(proposals, gt2d)
+
+        # ---- 3D head
+        pos = self.pe(p4, cam.img2lidar, img_shapes, c.image_size)
+        out = self.roi_head_forward(
+            p4, pos, proposals, cam, img_shapes, gt=gt3d,
+            dn_rng=self.make_rng('dn'), deterministic=False,
+            mean_time_delta=self._mean_time_delta(cam))
+        det_raw = dict(fpn_feats=fpn_feats, rpn_scores=rpn_scores,
+                       rpn_deltas=rpn_deltas)
+        return out, det_raw
+
+    def rcnn_train_forward(self, fpn_feats, rois: jnp.ndarray,
+                           view_idx: jnp.ndarray):
+        """RCNN head on sampled training RoIs."""
+        return self.base_detector.roi_forward(fpn_feats, rois, view_idx)

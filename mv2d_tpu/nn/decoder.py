@@ -177,11 +177,10 @@ class CrossAttentionBoxHead(nn.Module):
     def __call__(self, reference_points, keys, key_pos,
                  self_allowed, cross_allowed, deterministic: bool = True):
         """reference_points: [Q, 3] NORMALIZED (pc_range frame)."""
-        query_pos = nn.Sequential([
-            nn.Dense(self.embed_dims), nn.relu,
-            nn.Dense(self.embed_dims)],
-            name='query_embedding')(
-            pos2posemb3d(reference_points, self.embed_dims // 2))
+        emb = pos2posemb3d(reference_points, self.embed_dims // 2)
+        query_pos = nn.Dense(self.embed_dims, name='query_embedding_0')(emb)
+        query_pos = nn.Dense(self.embed_dims,
+                             name='query_embedding_1')(nn.relu(query_pos))
         query = jnp.zeros_like(query_pos)
         outs = PETRDecoder(self.num_layers, self.embed_dims, self.num_heads,
                            self.feedforward_channels, self.dropout,

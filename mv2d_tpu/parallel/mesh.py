@@ -1,0 +1,79 @@
+"""Device-mesh data parallelism (the reference's only parallelism axis).
+
+Replaces torch.distributed DDP/NCCL (ref: configs/_base_/default_runtime.py:13,
+tools/dist_train.sh) with jax.sharding: a 1-axis 'data' Mesh, batch sharded
+over it, parameters replicated; XLA inserts the gradient all-reduce over
+ICI/DCN.  The reference's in-model `reduce_mean` loss normalizers
+(cross_attention_head.py:407,420) become global means over the sharded batch,
+which jit computes with the same collectives.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` (the
+tools/train.py CLI does this when JAX_COORDINATOR is set).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = 'data') -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Leading-axis sharding for batched pytrees."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = 'data') -> Any:
+    """Place a batched pytree (leading dim = global batch) onto the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data'):
+    """Data-parallel train step over a batched TrainBatch (leading dim B).
+
+    Parameters replicated, batch sharded on `axis`; per-sample losses from
+    train_step.compute_losses are averaged globally (grad all-reduce and the
+    reference's reduce_mean normalizers fall out of the global mean).
+    """
+    from ..train.train_step import TrainState, compute_losses
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        B = jax.tree.leaves(batch)[0].shape[0]
+
+        def loss_fn(params):
+            variables = {'params': params, 'constants': state.constants}
+            rngs = jax.random.split(rng, B)
+            totals, metrics = jax.vmap(
+                lambda b, r: compute_losses(model, variables, b, r))(
+                batch, rngs)
+            return totals.mean(), jax.tree.map(jnp.mean, metrics)
+
+        (total, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        import optax
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics['total_loss'] = total
+        return TrainState(params=params, constants=state.constants,
+                          opt_state=opt_state, step=state.step + 1), metrics
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh, axis)
+    return jax.jit(step,
+                   in_shardings=(rep, data, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,))

@@ -1,1 +1,1 @@
-from . import losses, detector2d_loss, optim  # noqa: F401
+from . import losses, detector2d_loss, optim, train_step  # noqa: F401

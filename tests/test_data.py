@@ -1,0 +1,157 @@
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mv2d_tpu.data import nuscenes as nusc
+from mv2d_tpu.data import pipeline as pl
+
+
+def test_ida_matrix_maps_points(rng):
+    p = pl.IdaParams(resize=0.5, resize_dims=(800, 450), crop=(10, 20, 710, 420),
+                     flip=False, rotate=0.0)
+    m = pl.ida_matrix(p)
+    src = np.asarray([100.0, 200.0, 1.0])
+    dst = m @ src
+    np.testing.assert_allclose(dst[:2], [100 * 0.5 - 10, 200 * 0.5 - 20])
+
+
+def test_ida_flip_matrix():
+    p = pl.IdaParams(resize=1.0, resize_dims=(100, 100), crop=(0, 0, 100, 80),
+                     flip=True, rotate=0.0)
+    m = pl.ida_matrix(p)
+    dst = m @ np.asarray([30.0, 10.0, 1.0])
+    np.testing.assert_allclose(dst[:2], [70, 10])
+
+
+def test_apply_ida_image_shapes(rng):
+    img = rng.uniform(0, 255, (90, 160, 3)).astype(np.float32)
+    p = pl.sample_ida(np.random.default_rng(0),
+                      pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160,
+                                      resize_lim=(0.8, 1.0)), training=True)
+    out = pl.apply_ida_image(img, p)
+    assert out.shape == (64, 96, 3)
+
+
+def test_transform_boxes_2d_resize_crop():
+    p = pl.IdaParams(resize=0.5, resize_dims=(800, 450), crop=(0, 0, 400, 225),
+                     flip=False, rotate=0.0)
+    boxes = np.asarray([[100, 100, 300, 300]], np.float32)
+    out, keep = pl.transform_boxes_2d(boxes, p)
+    np.testing.assert_allclose(out[0], [50, 50, 150, 150])
+    assert keep[0]
+
+
+def test_global_rot_scale_projection_invariant(rng):
+    """Transformed GT centers must project to the same pixels through the
+    transformed lidar2img - the aug's defining property."""
+    from tests.test_model import make_rig
+    K, E = make_rig(2)
+    l2i = K @ np.transpose(E, (0, 2, 1))
+    gt = np.zeros((3, 9), np.float32)
+    gt[:, :3] = rng.uniform(5, 20, (3, 3)) * [1, 0.2, 0.05]
+    gt[:, 3:6] = 2.0
+    pix_before = []
+    for v in range(2):
+        q = l2i[v] @ np.concatenate([gt[0, :3], [1]])
+        pix_before.append(q[:2] / q[2])
+    l2i2, E2, gt2 = pl.global_rot_scale(np.random.default_rng(3), l2i.copy(),
+                                        E.copy(), gt)
+    for v in range(2):
+        q = l2i2[v] @ np.concatenate([gt2[0, :3], [1]])
+        np.testing.assert_allclose(q[:2] / q[2], pix_before[v], atol=1e-3)
+    # consistency: lidar2img == K @ E'^T after the aug
+    np.testing.assert_allclose(l2i2, K @ np.transpose(E2, (0, 2, 1)),
+                               atol=1e-6)
+
+
+def test_native_preprocess_matches_numpy(rng):
+    img = rng.uniform(0, 255, (90, 160, 3)).astype(np.uint8)
+    p = pl.IdaParams(resize=0.5, resize_dims=(80, 45), crop=(2, 0, 66, 40),
+                     flip=True, rotate=0.0)
+    out = pl.native_preprocess([img, img], p)
+    if out is None:
+        pytest.skip('native lib not built')
+    ref = pl.normalize_image(pl.apply_ida_image(img.astype(np.float32), p))
+    assert out.shape == (2, 40, 64, 3)
+    # interpolation conventions match cv2 to within rounding noise
+    assert np.abs(out[0] - ref).mean() < 0.05
+
+
+def _fake_nuscenes(tmpdir, n_samples=2):
+    import cv2
+    rng = np.random.default_rng(0)
+    infos = []
+    img_dir = os.path.join(tmpdir, 'imgs')
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    img_id, ann_id = 0, 0
+    for s in range(n_samples):
+        cams = {}
+        for ci, cam in enumerate(nusc.CAM_SENSORS):
+            fn = os.path.join(img_dir, f's{s}_{cam}.jpg')
+            cv2.imwrite(fn, rng.integers(0, 255, (90, 160, 3)).astype(np.uint8))
+            R = np.eye(3)
+            cams[cam] = dict(
+                data_path=fn, timestamp=(s * 0.5 + ci * 0.01) * 1e6,
+                sensor2lidar_rotation=R,
+                sensor2lidar_translation=np.zeros(3),
+                cam_intrinsic=np.asarray([[100., 0, 80], [0, 100., 45],
+                                          [0, 0, 1]]))
+            images.append(dict(id=img_id, file_name=os.path.basename(fn)))
+            # one 2D box per view matching gt0's camera center
+            anns.append(dict(id=ann_id, image_id=img_id,
+                             bbox=[40, 20, 40, 30], category_id=0,
+                             iscrowd=0, bbox_cam3d=[5.0, 0.0, -1.25 + 0.75]))
+            img_id += 1
+            ann_id += 1
+        infos.append(dict(
+            token=f'tok{s}', lidar_path='', sweeps=[],
+            timestamp=s * 0.5 * 1e6, cams=cams,
+            gt_boxes=np.asarray([[5.0, 0.0, -1.25, 2.0, 4.0, 1.5, 0.3]]),
+            gt_names=np.asarray(['car']),
+            gt_velocity=np.asarray([[1.0, 0.0]]),
+            valid_flag=np.asarray([True]),
+            num_lidar_pts=np.asarray([10])))
+    info_path = os.path.join(tmpdir, 'infos.pkl')
+    with open(info_path, 'wb') as f:
+        pickle.dump(dict(infos=infos), f)
+    coco_path = os.path.join(tmpdir, 'coco.json')
+    with open(coco_path, 'w') as f:
+        json.dump(dict(images=images, annotations=anns,
+                       categories=[dict(id=i, name=c)
+                                   for i, c in enumerate(nusc.CLASSES)]), f)
+    return info_path, coco_path
+
+
+def test_dataset_end_to_end(tmp_path, rng):
+    info_path, coco_path = _fake_nuscenes(str(tmp_path))
+    ds = nusc.NuScenesDataset(
+        info_path=info_path, ann2d_path=coco_path, num_frames=1,
+        final_dim=(64, 96),
+        ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
+        test_mode=False)
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s['imgs'].shape == (6, 64, 96, 3)
+    assert s['gt3d_valid'].sum() == 1
+    assert s['gt3d_boxes'][0, 3] > 0
+    assert s['intrinsics'].shape == (6, 4, 4)
+    # train batch conversion
+    batch = nusc.to_train_batch(s)
+    assert batch.imgs.shape == (6, 64, 96, 3)
+    assert batch.gt2d.boxes.shape[0] == 6
+
+
+def test_dataset_two_frames(tmp_path, rng):
+    info_path, coco_path = _fake_nuscenes(str(tmp_path))
+    ds = nusc.NuScenesDataset(
+        info_path=info_path, ann2d_path=coco_path, num_frames=2,
+        final_dim=(64, 96),
+        ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
+        test_mode=True)
+    s = ds.get_sample(0, np.random.default_rng(0))
+    # empty sweeps -> current frame repeated (pad_empty_sweeps)
+    assert s['imgs'].shape == (12, 64, 96, 3)
+    assert (s['timestamps'][6:] > s['timestamps'][:6]).all()

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv2d_tpu import configs
+from mv2d_tpu.core.geometry import prepare_camera_params
+from mv2d_tpu.models.mv2d import MV2D, GroundTruth2D, GroundTruth3D
+from mv2d_tpu.train import detector2d_loss as d2l
+from mv2d_tpu.train import losses as L
+from mv2d_tpu.train.optim import cosine_schedule, make_optimizer
+from mv2d_tpu.train.train_step import (TrainBatch, init_train_state,
+                                       make_train_step)
+from tests.test_model import make_rig
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_max_iou_assign(rng):
+    gt = jnp.asarray([[0., 0., 10., 10.], [50., 50., 70., 70.],
+                      [0., 0., 0., 0.]], dtype=jnp.float32)
+    gt_valid = jnp.asarray([True, True, False])
+    boxes = jnp.asarray([[0., 0., 10., 10.],     # iou 1.0 with gt0
+                         [52., 52., 70., 70.],   # high iou with gt1
+                         [100., 100., 120., 120.],  # background
+                         [3., 3., 14., 14.]], dtype=jnp.float32)
+    res = d2l.max_iou_assign(boxes, gt, gt_valid, 0.7, 0.3, 0.3)
+    assert bool(res.is_pos[0]) and int(res.assigned_gt[0]) == 0
+    assert bool(res.is_pos[1]) and int(res.assigned_gt[1]) == 1
+    assert bool(res.is_neg[2]) and not bool(res.is_pos[2])
+
+
+def test_random_sample_caps(rng):
+    is_pos = jnp.asarray(np.arange(100) < 10)
+    is_neg = jnp.asarray(np.arange(100) >= 50)
+    ps, ns = d2l.random_sample(jax.random.PRNGKey(1), is_pos, is_neg,
+                               32, 0.25)
+    assert int(ps.sum()) == 8 and int(ns.sum()) == 24
+    # few positives: negatives fill up
+    is_pos2 = jnp.asarray(np.arange(100) < 2)
+    ps, ns = d2l.random_sample(jax.random.PRNGKey(2), is_pos2, is_neg,
+                               32, 0.25)
+    assert int(ps.sum()) == 2 and int(ns.sum()) == 30
+
+
+def test_head_loss_drives_matching(rng):
+    Q, G, C = 12, 4, 10
+    gt = GroundTruth3D(
+        boxes=jnp.asarray(np.concatenate(
+            [rng.uniform(-30, 30, (G, 2)), rng.uniform(-3, 0, (G, 1)),
+             rng.uniform(1, 4, (G, 3)), rng.uniform(-3, 3, (G, 1)),
+             rng.uniform(-2, 2, (G, 2))], -1), dtype=jnp.float32),
+        labels=jnp.asarray(rng.integers(0, C, G), dtype=jnp.int32),
+        valid=jnp.asarray([True, True, False, False]))
+    from mv2d_tpu.core.boxes import bottom_to_gravity, normalize_bbox
+    code = normalize_bbox(bottom_to_gravity(gt.boxes))
+    cls = jnp.asarray(rng.normal(-3, 0.1, (Q, C)), dtype=jnp.float32)
+    # perfect predictions for the two valid GTs at queries 0/1
+    cls = cls.at[0, gt.labels[0]].set(4.0).at[1, gt.labels[1]].set(4.0)
+    box = jnp.asarray(rng.normal(0, 1, (Q, 10)), dtype=jnp.float32)
+    box = box.at[0].set(code[0]).at[1].set(code[1])
+    ll = L.single_layer_loss(cls, box, jnp.ones(Q, dtype=bool), code,
+                             gt.labels, gt.valid, C)
+    assert int(ll.num_pos) == 2
+    # degrade the matched box -> loss grows
+    box_bad = box.at[0].add(1.0)
+    ll2 = L.single_layer_loss(cls, box_bad, jnp.ones(Q, dtype=bool), code,
+                              gt.labels, gt.valid, C)
+    assert float(ll2.loss_bbox) > float(ll.loss_bbox)
+
+
+def test_cosine_schedule():
+    s = cosine_schedule(2e-4, 1000, warmup_iters=100)
+    v0 = float(s(0))
+    np.testing.assert_allclose(v0, 2e-4 / 3, rtol=1e-3)
+    assert float(s(100)) > v0
+    assert float(s(1000)) < 2e-4 * 2e-3
+
+
+def test_full_train_step_decreases_loss(rng):
+    cfg = configs.tiny(key_mode='pixel', num_frames=1)
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)) * 0.1,
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    G2 = 4
+    g2b = np.zeros((V, G2, 4), np.float32)
+    g2v = np.zeros((V, G2), bool)
+    g2b[:, 0] = [20, 16, 60, 48]
+    g2v[:, 0] = True
+    gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
+                         labels=jnp.zeros((V, G2), jnp.int32),
+                         valid=jnp.asarray(g2v))
+    G = cfg.max_gt
+    g3b = np.zeros((G, 9), np.float32)
+    g3b[0] = [10, 0, -1, 2, 4, 1.5, 0.3, 0, 0]
+    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                         labels=jnp.zeros((G,), jnp.int32),
+                         valid=jnp.asarray(np.arange(G) < 1))
+    batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=img_shapes,
+                       gt2d=gt2d, gt3d=gt3d)
+
+    model = MV2D(cfg)
+    variables = model.init(
+        {'params': KEY, 'aug': KEY, 'dn': KEY, 'dropout': KEY},
+        imgs, cam, img_shapes, gt2d, gt3d, method=MV2D.forward_train)
+    tx = make_optimizer(variables['params'], base_lr=1e-3, total_steps=100,
+                        clip_norm=35.0)
+    state = init_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    m0 = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+        assert np.isfinite(float(metrics['total_loss']))
+        if m0 is None:
+            m0 = metrics
+    # all reference loss keys present
+    for k in ['det_loss_rpn_cls', 'det_loss_rpn_bbox', 'det_loss_cls',
+              'det_loss_bbox', 'l0.loss_cls', 'l0.loss_bbox']:
+        assert k in metrics, k
+    if model.cfg.use_denoise:
+        assert 'l0.dn_loss_cls' in metrics
+    assert float(metrics['grad_norm']) > 0
+    # frozen stage-1 params must not move
+    p0 = variables['params']['base_detector']['backbone']['stem_conv']['kernel']
+    p1 = state.params['base_detector']['backbone']['stem_conv']['kernel']
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    # trainable decoder params must move
+    q0 = variables['params']['bbox_head']['query_embedding_0']['kernel']
+    q1 = state.params['bbox_head']['query_embedding_0']['kernel']
+    assert np.abs(np.asarray(q0) - np.asarray(q1)).max() > 0
