@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Evaluation CLI (mirrors the reference tools/test.py --eval bbox flow).
+
+Usage:
+  python tools/test.py <config> <checkpoint> [--eval] [--format-only]
+      [--out results.json] [--max-samples N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from common import build_dataset, build_model, load_cli_config
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--eval', action='store_true', default=True)
+    p.add_argument('--format-only', action='store_true')
+    p.add_argument('--out', default=None, help='submission json path')
+    p.add_argument('--max-samples', type=int, default=None)
+    p.add_argument('--cfg-options', nargs='*', default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    cfg = load_cli_config(args.config, args.cfg_options)
+    model = build_model(cfg)
+    dataset = build_dataset(cfg, 'val')
+
+    from mv2d_tpu.data.nuscenes import Prefetcher, to_eval_inputs
+    from mv2d_tpu.eval import nuscenes_eval, results as res
+    from mv2d_tpu.train.checkpoint import (convert_torch_state_dict,
+                                           restore_checkpoint)
+
+    # init + load weights
+    s0 = dataset.get_sample(0, np.random.default_rng(0))
+    imgs, cam, shapes = to_eval_inputs(s0)
+    variables = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    if args.checkpoint:
+        if args.checkpoint.endswith('.pth'):
+            import torch
+            sd = torch.load(args.checkpoint, map_location='cpu')
+            sd = sd.get('state_dict', sd)
+            params, constants = convert_torch_state_dict(
+                {k: v.numpy() for k, v in sd.items()})
+            print('unmatched torch keys:', params.pop('_unmatched'))
+            params.pop('_unmatched_keys', None)
+            from train import _merge_trees
+            variables = dict(
+                params=_merge_trees(variables['params'], params),
+                constants=_merge_trees(variables.get('constants', {}),
+                                       constants))
+        else:
+            variables = restore_checkpoint(args.checkpoint, variables)
+
+    fwd = jax.jit(lambda v, i, c, sh: model.apply(v, i, c, sh))
+
+    n = args.max_samples or len(dataset)
+    preds, gts, tokens = [], [], []
+    pf = Prefetcher(dataset, list(range(n)), seed=0)
+    t0 = time.time()
+    done = 0
+    for idx, s in pf:
+        imgs, cam, shapes = to_eval_inputs(s)
+        boxes, scores, labels, valid = jax.device_get(
+            fwd(variables, imgs, cam, shapes))
+        preds.append(res.boxes_to_pred_dict(boxes, scores, labels, valid))
+        gts.append(res.gt_dict_from_info(dataset.infos[idx]))
+        tokens.append(s['token'])
+        done += 1
+        if done % 50 == 0:
+            print(f'{done}/{n}  {done / (time.time() - t0):.2f} samples/s')
+    pf.close()
+
+    if args.out:
+        infos_by_token = {i['token']: i for i in dataset.infos}
+        sub = res.to_nuscenes_submission(tokens, preds, infos_by_token)
+        res.save_submission(args.out, sub)
+        print('wrote', args.out)
+    if args.format_only:
+        return
+    metrics = nuscenes_eval.evaluate(preds, gts)
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()
+                      if k in ('mAP', 'NDS') or k.startswith('m')}, indent=2))
+    for c in nuscenes_eval.CLASSES:
+        print(f'{c:22s} AP: {metrics[f"{c}_AP"]:.4f}')
+
+
+if __name__ == '__main__':
+    main()
