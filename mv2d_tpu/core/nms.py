@@ -20,23 +20,50 @@ from . import boxes as box_utils
 _NEG = -1e10
 
 
+_NMS_BLOCK = 64
+
+
 def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
                      iou_threshold: float) -> jnp.ndarray:
-    """Greedy NMS given a pairwise IoU matrix of score-sorted candidates.
+    """Exact greedy NMS given a pairwise IoU matrix of score-sorted
+    candidates, in O(N/B) sequential steps.
 
     iou: [N, N] (row i vs col j, i sorted by descending score), valid: [N].
     Returns keep mask [N].
+
+    TPU-friendly blocked formulation: a lax.scan over B-sized blocks; each
+    step suppresses the block from all earlier KEPT boxes with one masked
+    reduction, then resolves the within-block chain with B unrolled vector
+    ops.  Sequential depth drops from N (naive fori_loop) to N/B,
+    which is what makes the RPN's 5000-candidate NMS compile and run fast.
     """
     n = iou.shape[0]
-    suppress_edge = jnp.triu(iou > iou_threshold, k=1)  # j>i suppressed by i
+    B = _NMS_BLOCK
+    nb = -(-n // B)
+    pad = nb * B - n
+    if pad:
+        iou = jnp.pad(iou, ((0, pad), (0, pad)))
+        valid = jnp.pad(valid, (0, pad))
+    N = nb * B
+    sup_edge = iou > iou_threshold
+    idx = jnp.arange(N)
 
-    def body(i, keep):
-        # if i is kept, suppress all later boxes overlapping it
-        row = suppress_edge[i]
-        return jnp.where(keep[i], keep & ~row, keep)
+    def body(kept, blk):
+        start = blk * B
+        cols = jax.lax.dynamic_slice(sup_edge, (0, start), (N, B))  # [N, B]
+        earlier = idx < start
+        sup_prev = jnp.any(cols & (kept & earlier)[:, None], axis=0)  # [B]
+        blk_keep = jax.lax.dynamic_slice(kept, (start,), (B,)) & ~sup_prev
+        blk_iou = jax.lax.dynamic_slice(cols, (start, 0), (B, B))   # [B, B]
+        r_idx = jnp.arange(B)
+        for r in range(1, B):
+            sup_r = jnp.any(blk_iou[:, r] & blk_keep & (r_idx < r))
+            blk_keep = blk_keep.at[r].set(blk_keep[r] & ~sup_r)
+        kept = jax.lax.dynamic_update_slice(kept, blk_keep, (start,))
+        return kept, None
 
-    keep = jax.lax.fori_loop(0, n, body, valid)
-    return keep
+    keep, _ = jax.lax.scan(body, valid, jnp.arange(nb))
+    return keep[:n]
 
 
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,

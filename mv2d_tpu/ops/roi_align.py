@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -100,23 +101,89 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          view_idx: jnp.ndarray,
                          strides: Sequence[int], output_size: int = 7,
                          sampling_ratio: int = 2,
-                         finest_scale: float = 56.0) -> jnp.ndarray:
+                         finest_scale: float = 56.0,
+                         chunk: int = 2048) -> jnp.ndarray:
     """mmdet SingleRoIExtractor level routing: level = clamp(floor(log2(
     sqrt(area) / finest_scale + 1e-6)), 0, L-1), then RoIAlign on that level.
 
-    TPU strategy: compute RoIAlign against every level and select - the align
-    itself is cheap relative to the backbone, and this keeps one fused program.
+    TPU-native fused formulation: all levels are flattened into ONE
+    [sum_l V*H_l*W_l, C] buffer and each RoI gathers directly at its routed
+    level's offset - one gather pass instead of an align-per-level sweep
+    (4x less compute and, with `chunk`-sized lax.map batching, bounded
+    transient memory for the 12k-RoI R-CNN stage).
     """
+    L = len(feats)
+    V, _, _, C = feats[0].shape
     area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]),
                     0.0, None)
     scale = jnp.sqrt(area)
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
-    lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
-    outs = []
-    for i, f in enumerate(feats):
-        outs.append(roi_align(f, rois, view_idx, 1.0 / strides[i],
-                              output_size, sampling_ratio))
-    stacked = jnp.stack(outs, axis=0)                        # [L, R, O, O, C]
-    onehot = (lvl[None, :] == jnp.arange(len(feats))[:, None])
-    return jnp.einsum('lrijc,lr->rijc', stacked,
-                      onehot.astype(stacked.dtype))
+    lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
+
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    lvl_off, off = [], 0
+    Hs, Ws, Ss = [], [], []
+    for f, s in zip(feats, strides):
+        lvl_off.append(off)
+        off += f.shape[0] * f.shape[1] * f.shape[2]
+        Hs.append(f.shape[1])
+        Ws.append(f.shape[2])
+        Ss.append(1.0 / s)
+    lvl_off = jnp.asarray(lvl_off)
+    Hs = jnp.asarray(Hs)
+    Ws = jnp.asarray(Ws)
+    Ss = jnp.asarray(Ss, dtype=rois.dtype)
+
+    R = rois.shape[0]
+    O, S = output_size, max(sampling_ratio, 1)
+    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+    grid = grid.reshape(-1)                                     # [O*S]
+
+    def align_chunk(args):
+        r_boxes, r_lvl, r_view = args                           # [Rc, ...]
+        sc = Ss[r_lvl][:, None]                                 # [Rc, 1]
+        H = Hs[r_lvl]
+        W = Ws[r_lvl]
+        base = lvl_off[r_lvl] + r_view * (H * W)
+        x1 = r_boxes[:, 0:1] * sc - 0.5
+        y1 = r_boxes[:, 1:2] * sc - 0.5
+        bw = (r_boxes[:, 2:3] - r_boxes[:, 0:1]) * sc / O
+        bh = (r_boxes[:, 3:4] - r_boxes[:, 1:2]) * sc / O
+        xs = x1 + grid[None] * bw                               # [Rc, O*S]
+        ys = y1 + grid[None] * bh
+        Rc = r_boxes.shape[0]
+        X = jnp.broadcast_to(xs[:, None, :], (Rc, O * S, O * S)).reshape(Rc, -1)
+        Y = jnp.broadcast_to(ys[:, :, None], (Rc, O * S, O * S)).reshape(Rc, -1)
+        Wf = W[:, None].astype(X.dtype)
+        Hf = H[:, None].astype(X.dtype)
+        inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
+        X = jnp.clip(X, 0.0, Wf - 1)
+        Y = jnp.clip(Y, 0.0, Hf - 1)
+        x0 = jnp.floor(X); y0 = jnp.floor(Y)
+        x1i = jnp.minimum(x0 + 1, Wf - 1).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, Hf - 1).astype(jnp.int32)
+        lx = X - x0; ly = Y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+
+        def g(yi, xi):
+            return flat[base[:, None] + yi * W[:, None] + xi]
+
+        out = ((1 - ly) * (1 - lx))[..., None] * g(y0i, x0i) + \
+              ((1 - ly) * lx)[..., None] * g(y0i, x1i) + \
+              (ly * (1 - lx))[..., None] * g(y1i, x0i) + \
+              (ly * lx)[..., None] * g(y1i, x1i)
+        out = jnp.where(inside[..., None], out, 0.0)
+        return out.reshape(Rc, O, S, O, S, C).mean(axis=(2, 4))
+
+    if R <= chunk:
+        return align_chunk((rois, lvl, view_idx.astype(jnp.int32)))
+    nb = -(-R // chunk)
+    pad = nb * chunk - R
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    lvl_p = jnp.pad(lvl, (0, pad))
+    view_p = jnp.pad(view_idx.astype(jnp.int32), (0, pad))
+    out = jax.lax.map(align_chunk,
+                      (rois_p.reshape(nb, chunk, 4),
+                       lvl_p.reshape(nb, chunk),
+                       view_p.reshape(nb, chunk)))
+    return out.reshape(nb * chunk, O, O, C)[:R]

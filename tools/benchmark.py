@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Inference FPS benchmark (mirrors tools/analysis_tools/benchmark.py:64-92).
+
+Measures pure model forward throughput with device sync, configurable
+warmup/iters, on synthetic or real data.
+
+  python tools/benchmark.py <config> [--warmup 5] [--iters 50] [--bf16]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                os.pardir)))
+
+import numpy as np  # noqa: E402
+
+from common import build_model, load_cli_config  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--warmup', type=int, default=5)
+    p.add_argument('--iters', type=int, default=50)
+    p.add_argument('--bf16', action='store_true')
+    p.add_argument('--cfg-options', nargs='*', default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mv2d_tpu.core.geometry import prepare_camera_params
+    sys.path.insert(0, os.path.abspath(os.path.join(
+        os.path.dirname(__file__), os.pardir)))
+    from __graft_entry__ import _rig
+
+    cfg = load_cli_config(args.config, args.cfg_options)
+    model = build_model(cfg)
+    mc = model.cfg
+    V = mc.total_views
+    K, E = _rig(V, mc.image_size)
+    ts = [0.0] * mc.num_views + [0.5] * (V - mc.num_views)
+    cam = prepare_camera_params(K, E, timestamps=ts)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(V, *mc.image_size, 3)),
+                       dtype=jnp.float32)
+    shapes = jnp.asarray([[*mc.image_size]] * V)
+    variables = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    if args.bf16:
+        cast = lambda x: x.astype(jnp.bfloat16) \
+            if x.dtype == jnp.float32 else x
+        variables = jax.tree.map(cast, variables)
+        imgs = imgs.astype(jnp.bfloat16)
+    fwd = jax.jit(lambda v, i: model.apply(v, i, cam, shapes))
+    out = fwd(variables, imgs)
+    jax.block_until_ready(out)
+    for _ in range(args.warmup):
+        jax.block_until_ready(fwd(variables, imgs))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(variables, imgs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f'{args.iters / dt:.3f} samples/s '
+          f'({dt / args.iters * 1000:.1f} ms/sample, '
+          f'{"bf16" if args.bf16 else "f32"}, {jax.devices()[0]})')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Prediction / GT visualization (replaces tools/visualize.py +
+visual_nuscenes.py renderers): renders BEV boxes and camera projections to
+PNG without the devkit.
+
+  python tools/visualize.py <config> --checkpoint ckpt --index 0 --out vis.png
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                os.pardir)))
+
+import numpy as np  # noqa: E402
+
+from common import build_dataset, build_model, load_cli_config  # noqa: E402
+
+
+def draw_bev(ax, boxes, color, label=None):
+    from mv2d_tpu.core import boxes as B
+    import jax.numpy as jnp
+    if len(boxes) == 0:
+        return
+    bev = np.stack([boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
+                    boxes[:, 6]], axis=-1)
+    corners = np.asarray(B.bev_corners(jnp.asarray(bev)))
+    for i, c in enumerate(corners):
+        poly = np.concatenate([c, c[:1]], axis=0)
+        ax.plot(poly[:, 0], poly[:, 1], color=color, linewidth=0.8,
+                label=label if i == 0 else None)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--checkpoint', default=None)
+    p.add_argument('--index', type=int, default=0)
+    p.add_argument('--out', default='vis.png')
+    p.add_argument('--score-thr', type=float, default=0.3)
+    args = p.parse_args()
+
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    import jax
+
+    cfg = load_cli_config(args.config)
+    model = build_model(cfg)
+    dataset = build_dataset(cfg, 'val')
+    from mv2d_tpu.data.nuscenes import to_eval_inputs
+    from mv2d_tpu.eval.results import gt_dict_from_info
+    from mv2d_tpu.train.checkpoint import restore_checkpoint
+
+    s = dataset.get_sample(args.index, np.random.default_rng(0))
+    imgs, cam, shapes = to_eval_inputs(s)
+    variables = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    if args.checkpoint:
+        variables = restore_checkpoint(args.checkpoint, variables)
+    boxes, scores, labels, valid = jax.device_get(
+        model.apply(variables, imgs, cam, shapes))
+    keep = np.asarray(valid) & (np.asarray(scores) > args.score_thr)
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    gt = gt_dict_from_info(dataset.infos[args.index])
+    draw_bev(ax, gt['boxes'], 'tab:green', 'GT')
+    draw_bev(ax, np.asarray(boxes)[keep], 'tab:red', 'pred')
+    ax.set_xlim(-55, 55); ax.set_ylim(-55, 55)
+    ax.set_aspect('equal'); ax.legend(); ax.set_title('BEV')
+    fig.savefig(args.out, dpi=130)
+    print('wrote', args.out, f'({int(keep.sum())} preds, '
+          f'{len(gt["boxes"])} gts)')
+
+
+if __name__ == '__main__':
+    main()
