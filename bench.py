@@ -35,7 +35,17 @@ def main():
                        dtype=jnp.float32)
     img_shapes = jnp.asarray([[*cfg.image_size]] * V)
     model = MV2D(cfg)
-    variables = model.init(jax.random.PRNGKey(0), imgs, cam, img_shapes)
+    # benchmark measures speed, not accuracy: materialize parameters from
+    # the eval_shape structure on the host (avoids running a second full
+    # compiled program just for init)
+    struct = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, cam,
+                            img_shapes)
+    host_rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            host_rng.normal(0, 0.02, s.shape).astype(s.dtype)
+            if np.issubdtype(s.dtype, np.floating)
+            else np.zeros(s.shape, s.dtype)), struct)
 
     # bf16 compute: cast params (fp32 geometry islands are explicit in-model)
     def to_bf16(x):

@@ -23,34 +23,34 @@ _NEG = -1e10
 _NMS_BLOCK = 64
 
 
-def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
-                     iou_threshold: float) -> jnp.ndarray:
-    """Exact greedy NMS given a pairwise IoU matrix of score-sorted
-    candidates, in O(N/B) sequential steps.
+def _greedy_suppress_boxes(boxes: jnp.ndarray, valid: jnp.ndarray,
+                           iou_threshold: float, iou_fn) -> jnp.ndarray:
+    """Exact greedy NMS over score-sorted boxes in O(N/B) sequential steps.
 
-    iou: [N, N] (row i vs col j, i sorted by descending score), valid: [N].
-    Returns keep mask [N].
+    boxes: [N, D] (sorted by descending score), valid: [N].  Returns keep
+    mask [N].
 
     TPU-friendly blocked formulation: a lax.scan over B-sized blocks; each
-    step suppresses the block from all earlier KEPT boxes with one masked
-    reduction, then resolves the within-block chain with B unrolled vector
-    ops.  Sequential depth drops from N (naive fori_loop) to N/B,
-    which is what makes the RPN's 5000-candidate NMS compile and run fast.
+    step computes ONLY the [N, B] IoU slab for its block (never the full
+    [N, N] matrix - at RPN scale that is >20 GB), suppresses the block from
+    all earlier KEPT boxes with one masked reduction, then resolves the
+    within-block chain with B unrolled vector ops.  Sequential depth drops
+    from N (naive fori_loop) to N/B.
     """
-    n = iou.shape[0]
+    n, d = boxes.shape
     B = _NMS_BLOCK
     nb = -(-n // B)
     pad = nb * B - n
     if pad:
-        iou = jnp.pad(iou, ((0, pad), (0, pad)))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
     N = nb * B
-    sup_edge = iou > iou_threshold
     idx = jnp.arange(N)
 
     def body(kept, blk):
         start = blk * B
-        cols = jax.lax.dynamic_slice(sup_edge, (0, start), (N, B))  # [N, B]
+        blk_boxes = jax.lax.dynamic_slice(boxes, (start, 0), (B, d))
+        cols = iou_fn(boxes, blk_boxes) > iou_threshold             # [N, B]
         earlier = idx < start
         sup_prev = jnp.any(cols & (kept & earlier)[:, None], axis=0)  # [B]
         blk_keep = jax.lax.dynamic_slice(kept, (start,), (B,)) & ~sup_prev
@@ -80,8 +80,7 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     b = boxes[order]
     s = masked[order]
     v = valid[order]
-    iou = box_utils.box_iou_xyxy(b, b)
-    keep = _greedy_suppress(iou, v, iou_threshold)
+    keep = _greedy_suppress_boxes(b, v, iou_threshold, box_utils.box_iou_xyxy)
     # compact kept entries to the front (stable: already score-sorted)
     sel = jnp.argsort(~keep, stable=True)[:max_out]
     out_valid = keep[sel]
@@ -137,8 +136,8 @@ def nms_bev_padded(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
     order = jnp.argsort(-masked)
     b = boxes_bev[order]
     v = valid[order]
-    iou = box_utils.rotated_iou_bev(b, b)
-    keep = _greedy_suppress(iou, v, iou_threshold)
+    keep = _greedy_suppress_boxes(b, v, iou_threshold,
+                                  box_utils.rotated_iou_bev)
     sel = jnp.argsort(~keep, stable=True)[:max_out]
     out_valid = keep[sel]
     return order[sel], jnp.where(out_valid, masked[order][sel], _NEG), out_valid

@@ -80,6 +80,7 @@ class MV2DConfig(NamedTuple):
     stage_loss_weights: Tuple[float, ...] = (0.1,) * 6
     complement_2d_gt: float = 0.4
     remat: bool = False
+    use_flash_attention: bool = False   # Pallas kernel for eval cross-attn
 
     @property
     def total_views(self) -> int:
@@ -161,7 +162,8 @@ class MV2D(nn.Module):
             num_classes=c.num_classes, embed_dims=c.embed_dims,
             num_layers=c.num_decoder_layers, num_heads=c.num_heads,
             feedforward_channels=c.feedforward_channels, dropout=c.dropout,
-            pc_range=c.pc_range, remat=c.remat)
+            pc_range=c.pc_range, remat=c.remat,
+            use_flash=c.use_flash_attention)
 
     # ------------------------------------------------------------ features
 

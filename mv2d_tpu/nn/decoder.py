@@ -34,11 +34,16 @@ from .pe import pos2posemb3d
 
 
 class MHA(nn.Module):
-    """Multi-head attention with separate q/k/v/out projections."""
+    """Multi-head attention with separate q/k/v/out projections.
+
+    use_flash routes shared-key masked attention through the Pallas flash
+    kernel (inference path; keeps logits in VMEM instead of a [H, Q, K] HBM
+    buffer)."""
     embed_dims: int = 256
     num_heads: int = 8
     attn_drop: float = 0.1
     proj_drop: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, allowed, deterministic: bool = True):
@@ -46,7 +51,13 @@ class MHA(nn.Module):
         qp = nn.Dense(self.embed_dims, name='q_proj')(q)
         kp = nn.Dense(self.embed_dims, name='k_proj')(k)
         vp = nn.Dense(self.embed_dims, name='v_proj')(v)
-        out = multi_head_attention(qp, kp, vp, self.num_heads, allowed)
+        if (self.use_flash and deterministic and allowed is not None
+                and q.shape[0] == 1 and allowed.ndim == 3):
+            from ..ops.pallas_attention import masked_flash_attention
+            out = masked_flash_attention(qp[0], kp[0], vp[0], allowed[0],
+                                         self.num_heads)[None]
+        else:
+            out = multi_head_attention(qp, kp, vp, self.num_heads, allowed)
         out = nn.Dense(self.embed_dims, name='out_proj')(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
@@ -69,6 +80,7 @@ class PETRDecoderLayer(nn.Module):
     num_heads: int = 8
     feedforward_channels: int = 2048
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, keys, key_pos,
@@ -88,7 +100,8 @@ class PETRDecoderLayer(nn.Module):
         qc = (query + query_pos)
         if keys.ndim == 2:      # pixel mode: shared keys
             ca = MHA(self.embed_dims, self.num_heads, self.dropout,
-                     self.dropout, name='cross_attn')(
+                     self.dropout, use_flash=self.use_flash,
+                     name='cross_attn')(
                 qc[None], (keys + key_pos)[None], keys[None],
                 cross_allowed[None], deterministic)[0]
         else:                   # roi mode: per-query keys -> query as batch
@@ -110,6 +123,7 @@ class PETRDecoder(nn.Module):
     feedforward_channels: int = 2048
     dropout: float = 0.1
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, keys, key_pos,
@@ -122,6 +136,7 @@ class PETRDecoder(nn.Module):
         for i in range(self.num_layers):
             query = layer_cls(self.embed_dims, self.num_heads,
                               self.feedforward_channels, self.dropout,
+                              self.use_flash,
                               name=f'layer_{i}')(
                 query, query_pos, keys, key_pos, self_allowed,
                 cross_allowed, deterministic)
@@ -172,6 +187,7 @@ class CrossAttentionBoxHead(nn.Module):
     dropout: float = 0.1
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, reference_points, keys, key_pos,
@@ -184,7 +200,8 @@ class CrossAttentionBoxHead(nn.Module):
         query = jnp.zeros_like(query_pos)
         outs = PETRDecoder(self.num_layers, self.embed_dims, self.num_heads,
                            self.feedforward_channels, self.dropout,
-                           remat=self.remat, name='decoder')(
+                           remat=self.remat, use_flash=self.use_flash,
+                           name='decoder')(
             query, query_pos, keys, key_pos, self_allowed, cross_allowed,
             deterministic)
         reference = inverse_sigmoid(reference_points)

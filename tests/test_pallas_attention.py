@@ -1,0 +1,24 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv2d_tpu.ops import attention as xla_attn
+from mv2d_tpu.ops.pallas_attention import masked_flash_attention
+
+
+@pytest.mark.parametrize('Q,K,C,H', [(32, 256, 64, 4), (50, 300, 32, 2)])
+def test_flash_matches_xla(rng, Q, K, C, H):
+    q = jnp.asarray(rng.normal(size=(Q, C)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    allowed = rng.uniform(size=(Q, K)) > 0.6
+    allowed[0, :] = False          # fully-masked row
+    allowed[1, :] = True
+    ref = xla_attn.multi_head_attention(q[None], k[None], v[None], H,
+                                        jnp.asarray(allowed)[None])[0]
+    out = masked_flash_attention(q, k, v, jnp.asarray(allowed), H,
+                                 block_q=16, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(out)[0], 0.0, atol=1e-6)
