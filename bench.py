@@ -56,16 +56,20 @@ def main():
 
     fwd = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes))
 
+    def force(out):
+        # fetch one element: on the remote-TPU backend block_until_ready
+        # acks enqueue rather than completion, so fetch a value
+        return jax.device_get(jax.tree.leaves(out)[0].reshape(-1)[0])
+
     def run(vs, im, tag):
-        out = fwd(vs, im)
-        jax.block_until_ready(out)
+        force(fwd(vs, im))
         for _ in range(4):
-            jax.block_until_ready(fwd(vs, im))
+            force(fwd(vs, im))
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
             out = fwd(vs, im)
-        jax.block_until_ready(out)
+        force(out)
         dt = time.perf_counter() - t0
         return n / dt
 

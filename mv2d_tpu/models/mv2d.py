@@ -179,6 +179,10 @@ class MV2D(nn.Module):
         c = self.cfg
         G = c.max_gt
         S = c.denoise_scalar
+        assert gt.boxes.shape[0] == G, (
+            f'GT bucket {gt.boxes.shape[0]} must equal cfg.max_gt {G} '
+            f'(DN group width); size the dataset buckets from the model '
+            f'config')
         centers = box_utils.bottom_to_gravity(gt.boxes)[:, :3]   # gravity xyz
         sizes = gt.boxes[:, 3:6]
         centers = jnp.tile(centers, (S, 1))                      # [S*G, 3]
