@@ -20,6 +20,8 @@ A100_BASELINE_SPS = 6.5
 
 def main():
     import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     import jax.numpy as jnp
     from mv2d_tpu import configs
     from mv2d_tpu.core.geometry import prepare_camera_params

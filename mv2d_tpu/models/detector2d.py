@@ -50,14 +50,19 @@ class Proposals:
 class TwoStageDetector(nn.Module):
     depth: int = 50
     num_classes: int = 10
+    backbone_type: str = 'resnet'          # 'resnet' | 'vovnet'
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     fpn_channels: int = 256
     rcnn_fc_channels: int = 1024
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth,
-                               stage_with_dcn=self.stage_with_dcn)
+        if self.backbone_type == 'vovnet':
+            from ..nn.vovnet import VoVNet
+            self.backbone = VoVNet(depth=self.depth)
+        else:
+            self.backbone = ResNet(depth=self.depth,
+                                   stage_with_dcn=self.stage_with_dcn)
         self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
         self.rpn_head = RPNHead(feat_channels=self.fpn_channels)
         self.bbox_head = Shared2FCBBoxHead(

@@ -45,6 +45,7 @@ class MV2DConfig(NamedTuple):
     num_frames: int = 2           # 2 = MV2D-T, 1 = MV2D / MV2D-S
     image_size: Tuple[int, int] = (512, 1408)   # (H, W) padded input
     depth: int = 50
+    backbone_type: str = 'resnet'               # 'resnet' | 'vovnet'
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
     num_classes: int = 10
     embed_dims: int = 256
@@ -143,6 +144,7 @@ class MV2D(nn.Module):
         c = self.cfg
         self.base_detector = TwoStageDetector(
             depth=c.depth, num_classes=c.num_classes,
+            backbone_type=c.backbone_type,
             stage_with_dcn=c.stage_with_dcn, fpn_channels=c.fpn_channels,
             rcnn_fc_channels=c.rcnn_fc_channels)
         # neck: p4-selecting FPN-on-FPN (ref ..._ep24.py:32-39)

@@ -180,3 +180,13 @@ def test_box_head_roi_mode(rng):
     params = head.init(KEY, refs, keys, kpos, None, cross)
     cls, box = head.apply(params, refs, keys, kpos, None, cross)
     assert cls.shape == (2, Q, 10)
+
+
+def test_vovnet_stage_shapes(rng):
+    from mv2d_tpu.nn.vovnet import VoVNet
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)), dtype=jnp.float32)
+    model = VoVNet(depth=19)
+    params = model.init(KEY, x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 24, 256), (1, 8, 12, 512), (1, 4, 6, 768), (1, 2, 3, 1024)]
