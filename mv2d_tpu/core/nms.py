@@ -80,7 +80,12 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     b = boxes[order]
     s = masked[order]
     v = valid[order]
-    keep = _greedy_suppress_boxes(b, v, iou_threshold, box_utils.box_iou_xyxy)
+    if jax.default_backend() == 'tpu':
+        from ..ops.pallas_nms import pallas_greedy_nms
+        keep = pallas_greedy_nms(b, v, iou_threshold)
+    else:
+        keep = _greedy_suppress_boxes(b, v, iou_threshold,
+                                      box_utils.box_iou_xyxy)
     # compact kept entries to the front (stable: already score-sorted)
     sel = jnp.argsort(~keep, stable=True)[:max_out]
     out_valid = keep[sel]

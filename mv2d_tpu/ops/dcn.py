@@ -19,26 +19,27 @@ def _dense_bilinear(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray
                     ) -> jnp.ndarray:
     """x: [V, H, W, C]; sx, sy: [V, P] continuous coords. -> [V, P, C].
 
-    Zero padding outside the map (mmcv deform-conv border rule)."""
+    Zero padding outside the map (mmcv deform-conv border rule).  Uses the
+    2x2 parity block layout (ops/roi_align.make_block_layout): one 4C-wide
+    gather per sample instead of four C-wide ones."""
+    from .roi_align import make_block_layout
     V, H, W, C = x.shape
     inside = (sx > -1.0) & (sx < W) & (sy > -1.0) & (sy < H)
     sx = jnp.clip(sx, 0.0, W - 1)
     sy = jnp.clip(sy, 0.0, H - 1)
     x0 = jnp.floor(sx); y0 = jnp.floor(sy)
-    x1 = jnp.minimum(x0 + 1, W - 1); y1 = jnp.minimum(y0 + 1, H - 1)
-    lx = sx - x0; ly = sy - y0
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    flat = x.reshape(V, H * W, C)
-
-    def g(yi, xi):
-        idx = yi * W + xi                              # [V, P]
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
-
-    out = ((1 - ly) * (1 - lx))[..., None] * g(y0i, x0i) + \
-          ((1 - ly) * lx)[..., None] * g(y0i, x1i) + \
-          (ly * (1 - lx))[..., None] * g(y1i, x0i) + \
-          (ly * lx)[..., None] * g(y1i, x1i)
+    lx = (sx - x0)[..., None]; ly = (sy - y0)[..., None]
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    blocks = make_block_layout(x)
+    Hb, Wb = blocks.shape[2], blocks.shape[3]
+    flat = blocks.reshape(-1, 4 * C)
+    buf = (y0i % 2) * 2 + (x0i % 2)                        # [V, P]
+    vids = jnp.arange(V, dtype=jnp.int32)[:, None]
+    rows = ((buf * V + vids) * Hb + y0i // 2) * Wb + x0i // 2
+    cells = flat[rows]                                     # [V, P, 4C]
+    c00, c01, c10, c11 = jnp.split(cells, 4, axis=-1)
+    out = (1 - ly) * (1 - lx) * c00 + (1 - ly) * lx * c01 + \
+        ly * (1 - lx) * c10 + ly * lx * c11
     return jnp.where(inside[..., None], out, 0.0)
 
 

@@ -115,3 +115,20 @@ def test_dcn_stride2_shape(rng):
     params = mod.init(jax.random.PRNGKey(0), x)
     out = mod.apply(params, x)
     assert out.shape == (2, 4, 6, 6)
+
+
+def test_block_layout_align_matches_gather(rng):
+    """Block-layout gather path must be numerically identical to 4-gather."""
+    feats = [jnp.asarray(rng.normal(size=(2, 64 // s, 64 // s, 8)),
+                         dtype=jnp.float32) for s in (1, 2, 4, 8)]
+    strides = [4, 8, 16, 32]
+    rois = jnp.asarray(rng.uniform(0, 120, (20, 2)))
+    rois = jnp.concatenate([rois, rois + rng.uniform(10, 120, (20, 2))],
+                           -1).astype(jnp.float32)
+    views = jnp.asarray(rng.integers(0, 2, 20), jnp.int32)
+    a = roi_align.multilevel_roi_align(feats, rois, views, strides,
+                                       block_layout=False)
+    b = roi_align.multilevel_roi_align(feats, rois, views, strides,
+                                       block_layout=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
