@@ -27,7 +27,7 @@ def _kernel(boxes_ref, valid_ref, keep_ref, *, n: int, thr: float,
     x2 = boxes_ref[0, :, 2][None]
     y2 = boxes_ref[0, :, 3][None]
     area = (x2 - x1) * (y2 - y1)
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, x1.shape[1]), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
 
     def body(i, keep):
         bx1 = boxes_ref[0, i, 0]

@@ -83,3 +83,19 @@ def test_box3d_multiclass_nms_passthrough(rng):
     # labels preserved
     lv = np.asarray(out_l)[np.asarray(out_v)]
     assert set(lv.tolist()) <= set(labels.tolist())
+
+
+def test_nms_long_suppression_chain():
+    """Adversarial chain A>B>C>...: greedy keeps alternating boxes; the
+    fixpoint in-block solver must match exactly."""
+    n = 100
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        boxes[i] = [i * 5.0, 0.0, i * 5.0 + 10.0, 10.0]  # 50% overlap chain
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    _, _, idx, v = N.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.ones(n, dtype=bool), 0.3, n)
+    got = sorted(np.asarray(idx)[np.asarray(v)].tolist())
+    want = sorted(ref_greedy_nms(boxes, scores, 0.3))
+    assert got == want
+    assert got == list(range(0, n, 2))
