@@ -84,9 +84,16 @@ class TwoStageDetector(nn.Module):
     def roi_forward(self, feats: Sequence[jnp.ndarray],
                     rois: jnp.ndarray, view_idx: jnp.ndarray):
         """rois: [N, 4] image-pixel boxes; view_idx: [N]."""
-        roi_feats = multilevel_roi_align(
-            list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
-            output_size=7, sampling_ratio=2)
+        import jax
+        if jax.default_backend() == 'tpu':
+            from ..ops.pallas_roi_align import pallas_multilevel_roi_align
+            roi_feats = pallas_multilevel_roi_align(
+                list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
+                output_size=7, sampling_ratio=2)
+        else:
+            roi_feats = multilevel_roi_align(
+                list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
+                output_size=7, sampling_ratio=2)
         return self.bbox_head(roi_feats)
 
     def detect(self, feats: Sequence[jnp.ndarray],

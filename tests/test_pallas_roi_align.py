@@ -1,0 +1,39 @@
+import jax.numpy as jnp
+import numpy as np
+
+from mv2d_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
+from mv2d_tpu.ops.roi_align import multilevel_roi_align
+
+
+def test_pallas_align_matches_xla(rng):
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    n = 37
+    xy = rng.uniform(0, 250, (n, 2))
+    wh = rng.uniform(8, 300, (n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], 1), jnp.float32)
+    views = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    want = multilevel_roi_align(feats, rois, views, strides)
+    got = pallas_multilevel_roi_align(feats, rois, views, strides,
+                                      rois_per_step=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_edge_rois(rng):
+    """RoIs hugging image borders and spanning the whole image."""
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(1, 128 // s, 352 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    rois = jnp.asarray([
+        [0., 0., 352., 128.],       # whole image -> coarsest level
+        [-10., -10., 30., 30.],     # out-of-bounds corner
+        [340., 120., 352., 128.],   # bottom-right sliver
+    ], jnp.float32)
+    views = jnp.zeros((3,), jnp.int32)
+    want = multilevel_roi_align(feats, rois, views, strides)
+    got = pallas_multilevel_roi_align(feats, rois, views, strides,
+                                      rois_per_step=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

@@ -64,6 +64,21 @@ def main():
             f, r, v, (4, 8, 16, 32)))
         timed(fn, feats, rois, views, name='multilevel_roi_align 12k rois')
 
+
+    if which in ('palign', 'all2'):
+        from mv2d_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
+        feats = [jnp.asarray(rng.normal(size=(12, 512 // s, 1408 // s, 256)),
+                             jnp.bfloat16) for s in (4, 8, 16, 32)]
+        rois = jnp.asarray(
+            np.concatenate([rng.uniform(0, 1000, (12000, 2)),
+                            rng.uniform(100, 400, (12000, 2))], 1),
+            jnp.float32)
+        rois = rois.at[:, 2:].add(rois[:, :2])
+        views = jnp.asarray(rng.integers(0, 12, 12000), jnp.int32)
+        fn = jax.jit(lambda f, r, v: pallas_multilevel_roi_align(
+            f, r, v, (4, 8, 16, 32)))
+        timed(fn, feats, rois, views, name='PALLAS roi_align 12k rois')
+
     if which in ('nms', 'all'):
         from mv2d_tpu.core.nms import nms_padded
         boxes = jnp.asarray(np.concatenate(

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (scenes/sec/chip).
+
+One full MV2D-T train step (grid mask, 2D losses, no-grad detections, GT
+complement, DN head, Hungarian callback, AdamW) on synthetic data at the
+recipe's shapes.  The reference trains 1 scene/GPU on 8 GPUs (README.md:42);
+scenes/sec/chip here x8 approximates the 8-way DP recipe rate.
+
+  python tools/train_bench.py [--image-h 512 --image-w 1408] [--remat]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                os.pardir)))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--image-h', type=int, default=512)
+    p.add_argument('--image-w', type=int, default=1408)
+    p.add_argument('--no-remat', action='store_true')
+    p.add_argument('--iters', type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    import jax.numpy as jnp
+    from mv2d_tpu import configs
+    from mv2d_tpu.core.geometry import prepare_camera_params
+    from mv2d_tpu.models.mv2d import MV2D, GroundTruth2D, GroundTruth3D
+    from mv2d_tpu.train.optim import make_optimizer
+    from mv2d_tpu.train.train_step import (TrainBatch, init_train_state,
+                                           make_train_step)
+    from __graft_entry__ import _rig
+
+    cfg = configs.mv2d_t_r50(image_size=(args.image_h, args.image_w),
+                             remat=not args.no_remat)
+    V = cfg.total_views
+    K, E = _rig(V, cfg.image_size)
+    cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)),
+                       dtype=jnp.float32)
+    shapes = jnp.asarray([[*cfg.image_size]] * V)
+    G2, G = 32, cfg.max_gt
+    g2b = np.zeros((V, G2, 4), np.float32)
+    g2v = np.zeros((V, G2), bool)
+    for v in range(V):
+        n = rng.integers(5, 20)
+        xy = rng.uniform(0, args.image_w - 200, (n, 2))
+        g2b[v, :n] = np.concatenate([xy, xy + rng.uniform(40, 200, (n, 2))],
+                                    1)
+        g2v[v, :n] = True
+    gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
+                         labels=jnp.zeros((V, G2), jnp.int32),
+                         valid=jnp.asarray(g2v))
+    g3b = np.zeros((G, 9), np.float32)
+    ngt = 25
+    g3b[:ngt, :2] = rng.uniform(-40, 40, (ngt, 2))
+    g3b[:ngt, 2] = -1.5
+    g3b[:ngt, 3:6] = rng.uniform(1, 4, (ngt, 3))
+    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                         labels=jnp.asarray(rng.integers(0, 10, G),
+                                            dtype=jnp.int32),
+                         valid=jnp.asarray(np.arange(G) < ngt))
+    batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=shapes, gt2d=gt2d,
+                       gt3d=gt3d)
+
+    model = MV2D(cfg)
+    t0 = time.time()
+    variables = jax.jit(model.init, static_argnames=())(
+        {'params': jax.random.PRNGKey(0), 'aug': jax.random.PRNGKey(1),
+         'dn': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
+        imgs, cam, shapes, gt2d, gt3d, method=MV2D.forward_train)
+    print(f'init {time.time() - t0:.1f}s', flush=True)
+    tx = make_optimizer(variables['params'], total_steps=1000)
+    state = init_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(5))
+    print(f'first step (compile) {time.time() - t0:.1f}s '
+          f'loss={float(metrics["total_loss"]):.3f}', flush=True)
+    for _ in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(6))
+    float(metrics['total_loss'])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7 + i))
+    total = float(metrics['total_loss'])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f'train step: {dt * 1000:.1f} ms/scene '
+          f'({1 / dt:.3f} scenes/sec/chip), loss={total:.3f}')
+
+
+if __name__ == '__main__':
+    main()
