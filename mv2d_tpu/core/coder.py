@@ -57,3 +57,38 @@ def nms_free_decode(cls_scores: jnp.ndarray,
         labels = jnp.pad(labels, (0, pad))
         valid = jnp.pad(valid, (0, pad))
     return boxes, jnp.where(valid, scores, 0.0), labels, valid
+
+
+def nms_free_cls_decode(cls_scores: jnp.ndarray,
+                        bbox_preds: jnp.ndarray,
+                        query_valid: jnp.ndarray,
+                        max_num: int,
+                        num_classes: int,
+                        post_center_range: Sequence[float] | None = None,
+                        score_threshold: float | None = None):
+    """NMSFreeClsCoder variant (ref: nms_free_coder.py:128): softmax over
+    classes incl. background, per-QUERY top-k by best-foreground score
+    (instead of the flat query x class top-k)."""
+    Q, C1 = cls_scores.shape          # C1 = num_classes + 1 (bg last)
+    probs = jax.nn.softmax(cls_scores, axis=-1)[:, :num_classes]
+    best = jnp.where(query_valid, probs.max(-1), _NEG)
+    labels = probs.argmax(-1).astype(jnp.int32)
+    k = min(max_num, Q)
+    scores, idx = jax.lax.top_k(best, k)
+    boxes = denormalize_bbox(bbox_preds[idx])
+    valid = query_valid[idx] & (scores > _NEG / 2)
+    if score_threshold is not None:
+        valid = valid & (scores > score_threshold)
+    if post_center_range is not None:
+        lo = jnp.asarray(post_center_range[:3], dtype=boxes.dtype)
+        hi = jnp.asarray(post_center_range[3:], dtype=boxes.dtype)
+        inside = jnp.all(boxes[:, :3] >= lo, axis=-1) & \
+                 jnp.all(boxes[:, :3] <= hi, axis=-1)
+        valid = valid & inside
+    if k < max_num:
+        pad = max_num - k
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad), constant_values=_NEG)
+        idx = jnp.pad(idx, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return boxes, jnp.where(valid, scores, 0.0), labels[idx], valid

@@ -301,12 +301,15 @@ class NuScenesDataset:
             G2 = self.buckets.max_gt2d
             b = np.zeros((V, G2, 4), np.float32)
             l = np.zeros((V, G2), np.int32)
+            m3 = np.full((V, G2), -1, np.int32)
             va = np.zeros((V, G2), bool)
             for v, g in enumerate(gt2d):
                 bb, vv = pad_to(g['boxes'], G2)
                 ll, _ = pad_to(g['labels'].astype(np.int32), G2)
-                b[v], l[v], va[v] = bb, ll, vv
-            out.update(gt2d_boxes=b, gt2d_labels=l, gt2d_valid=va)
+                mm, _ = pad_to(g['match'].astype(np.int32), G2, value=-1)
+                b[v], l[v], m3[v], va[v] = bb, ll, mm, vv
+            out.update(gt2d_boxes=b, gt2d_labels=l, gt2d_valid=va,
+                       gt2d_to_3d=m3)
         return out
 
 

@@ -86,6 +86,34 @@ def sine_positional_encoding_3d(mask: jnp.ndarray, num_feats: int = 128,
                            axis=-1)
 
 
+class LearnedPositionalEncoding3D(nn.Module):
+    """Learned row/col/view embedding variant (ref: models/utils/
+    positional_encoding.py:110; registered by the reference, unused by the
+    shipped MV2D configs)."""
+    num_feats: int = 128
+    row_num_embed: int = 50
+    col_num_embed: int = 50
+    view_num_embed: int = 12
+
+    @nn.compact
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
+        """mask: [V, H, W] -> [V, H, W, 3*num_feats]."""
+        V, H, W = mask.shape
+        row = nn.Embed(self.row_num_embed, self.num_feats, name='row_embed')(
+            jnp.arange(H) % self.row_num_embed)
+        col = nn.Embed(self.col_num_embed, self.num_feats, name='col_embed')(
+            jnp.arange(W) % self.col_num_embed)
+        view = nn.Embed(self.view_num_embed, self.num_feats,
+                        name='view_embed')(
+            jnp.arange(V) % self.view_num_embed)
+        out = jnp.concatenate([
+            jnp.broadcast_to(view[:, None, None], (V, H, W, self.num_feats)),
+            jnp.broadcast_to(row[None, :, None], (V, H, W, self.num_feats)),
+            jnp.broadcast_to(col[None, None, :], (V, H, W, self.num_feats)),
+        ], axis=-1)
+        return out
+
+
 class SELayer(nn.Module):
     channels: int
 

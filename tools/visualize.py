@@ -33,6 +33,39 @@ def draw_bev(ax, boxes, color, label=None):
                 label=label if i == 0 else None)
 
 
+def draw_camera_views(axes, sample, boxes3d, color):
+    """Project 3D boxes into each camera image (replaces the patched devkit
+    renderer visual_nuscenes.py)."""
+    from mv2d_tpu.data.converter import _box_corners
+    imgs = sample['imgs']
+    l2i = np.asarray(sample['lidar2img'], np.float64)
+    mean = np.asarray([123.675, 116.28, 103.53])
+    std = np.asarray([58.395, 57.12, 57.375])
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    for v, ax in enumerate(axes):
+        img = np.clip(imgs[v] * std + mean, 0, 255).astype(np.uint8)
+        ax.imshow(img)
+        ax.axis('off')
+        H, W = img.shape[:2]
+        for b in boxes3d:
+            corners = _box_corners(np.asarray(b, np.float64))
+            hom = np.concatenate([corners, np.ones((8, 1))], 1)
+            q = hom @ l2i[v].T
+            if (q[:, 2] < 0.1).all():
+                continue
+            uv = q[:, :2] / np.maximum(q[:, 2:3], 0.1)
+            if (uv[:, 0].max() < 0 or uv[:, 0].min() > W or
+                    uv[:, 1].max() < 0 or uv[:, 1].min() > H):
+                continue
+            for a, bb in edges:
+                if q[a, 2] > 0.1 and q[bb, 2] > 0.1:
+                    ax.plot([uv[a, 0], uv[bb, 0]], [uv[a, 1], uv[bb, 1]],
+                            color=color, linewidth=0.6)
+        ax.set_xlim(0, W)
+        ax.set_ylim(H, 0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('config')
@@ -40,6 +73,8 @@ def main():
     p.add_argument('--index', type=int, default=0)
     p.add_argument('--out', default='vis.png')
     p.add_argument('--score-thr', type=float, default=0.3)
+    p.add_argument('--cameras', action='store_true',
+                   help='also render per-camera projections')
     args = p.parse_args()
 
     import matplotlib
@@ -63,8 +98,16 @@ def main():
         model.apply(variables, imgs, cam, shapes))
     keep = np.asarray(valid) & (np.asarray(scores) > args.score_thr)
 
-    fig, ax = plt.subplots(figsize=(8, 8))
     gt = gt_dict_from_info(dataset.infos[args.index])
+    if args.cameras:
+        V = min(6, s['imgs'].shape[0])
+        fig = plt.figure(figsize=(16, 9))
+        ax = fig.add_subplot(2, 4, (4, 8))
+        cam_axes = [fig.add_subplot(2, 4, i + 1 + (i // 3))
+                    for i in range(V)]
+        draw_camera_views(cam_axes, s, np.asarray(boxes)[keep], 'tab:red')
+    else:
+        fig, ax = plt.subplots(figsize=(8, 8))
     draw_bev(ax, gt['boxes'], 'tab:green', 'GT')
     draw_bev(ax, np.asarray(boxes)[keep], 'tab:red', 'pred')
     ax.set_xlim(-55, 55); ax.set_ylim(-55, 55)
