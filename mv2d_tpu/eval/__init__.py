@@ -1,1 +1,1 @@
-from . import nuscenes_eval, results  # noqa: F401
+from . import nuscenes_eval, results, runner  # noqa: F401

@@ -24,7 +24,8 @@ _NEG = -1e9
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
-    # q_ref: [1, BQ, D]; k_ref/v_ref: [1, K, D]; mask_ref: [BQ, K] int8
+    # q_ref: [1, BQ, D]; k_ref/v_ref: [1, K, D]; mask_ref: [BQ, K] bf16 0/1
+    # (int8 vector compares are unsupported on v5e Mosaic)
     # o_ref: [1, BQ, D]
     q = q_ref[0].astype(jnp.float32) * scale         # [BQ, D]
     BQ, D = q.shape
@@ -35,14 +36,16 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
         acc, m, l = carry
         k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)   # [BK, D]
         v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        msk = mask_ref[:, pl.ds(i * bk, bk)] > 0                 # [BQ, BK]
+        # mask arithmetic instead of vector compares (unsupported on the
+        # target for sub-f32 dtypes): msk is 1.0/0.0
+        msk = mask_ref[:, pl.ds(i * bk, bk)].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [BQ, BK]
-        logits = jnp.where(msk, logits, _NEG)
+        logits = logits * msk + (msk - 1.0) * (-_NEG)
         m_new = jnp.maximum(m, logits.max(-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(logits - m_new) * msk.astype(jnp.float32)
+        p = jnp.exp(logits - m_new) * msk
         l_new = l * alpha + p.sum(-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
@@ -80,7 +83,7 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qh = qh.transpose(1, 0, 2)                                  # [H, Qp, D]
     kh = jnp.pad(k, ((0, Kp - K), (0, 0))).reshape(Kp, H, D).transpose(1, 0, 2)
     vh = jnp.pad(v, ((0, Kp - K), (0, 0))).reshape(Kp, H, D).transpose(1, 0, 2)
-    msk = jnp.pad(allowed.astype(jnp.int8), ((0, Qp - Q), (0, Kp - K)))
+    msk = jnp.pad(allowed.astype(jnp.bfloat16), ((0, Qp - Q), (0, Kp - K)))
 
     grid = (H, Qp // BQ)
     out = pl.pallas_call(

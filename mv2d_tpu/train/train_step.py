@@ -50,14 +50,43 @@ def _all_anchors(cfg: MV2DConfig) -> jnp.ndarray:
     return jnp.asarray(np.concatenate(anchors, axis=0))
 
 
+def _bf16_cast(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, tree)
+
+
 def compute_losses(model: MV2D, variables, batch: TrainBatch,
-                   rng: jax.Array) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                   rng: jax.Array,
+                   mixed_precision: bool = True
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full training losses for one scene.
+
+    mixed_precision=True runs the forward in bf16 (params cast per step,
+    f32 master copies stay in the optimizer) - the TPU equivalent of the
+    reference's Fp16OptimizerHook + dynamic loss scale (bf16 needs no
+    scaling; geometry fp32 islands are explicit casts inside the model,
+    and losses are computed in f32 like the reference's force_fp32 heads).
+    """
     cfg = model.cfg
+    if mixed_precision:
+        variables = dict(variables)
+        variables['params'] = _bf16_cast(variables['params'])
+        batch = batch.replace(imgs=batch.imgs.astype(jnp.bfloat16))
     r_aug, r_dn, r_drop, r_rpn, r_rcnn = jax.random.split(rng, 5)
     out, det_raw = model.apply(
         variables, batch.imgs, batch.cam, batch.img_shapes, batch.gt2d,
         batch.gt3d, method=MV2D.forward_train,
         rngs={'aug': r_aug, 'dn': r_dn, 'dropout': r_drop})
+    if mixed_precision:
+        # losses in f32 (the reference's force_fp32 heads)
+        up = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, 'dtype') and x.dtype == jnp.bfloat16 else x, t)
+        out = up(out)
+        det_raw = dict(fpn_feats=det_raw['fpn_feats'],
+                       rpn_scores=up(det_raw['rpn_scores']),
+                       rpn_deltas=up(det_raw['rpn_deltas']))
 
     losses = mv2d_head_loss(out, batch.gt3d, cfg)
 
@@ -96,6 +125,8 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
     cls_logits, reg_deltas = model.apply(
         variables, det_raw['fpn_feats'], flat_rois, view_idx,
         method=MV2D.rcnn_train_forward)
+    cls_logits = cls_logits.astype(jnp.float32)
+    reg_deltas = reg_deltas.astype(jnp.float32)
     flat_samples = d2l.RCNNSamples(
         rois=flat_rois, labels=samples.labels.reshape(-1),
         reg_targets=samples.reg_targets.reshape(-1, 4),

@@ -64,33 +64,15 @@ def main():
         else:
             variables = restore_checkpoint(args.checkpoint, variables)
 
-    fwd = jax.jit(lambda v, i, c, sh: model.apply(v, i, c, sh))
-
-    n = args.max_samples or len(dataset)
-    preds, gts, tokens = [], [], []
-    pf = Prefetcher(dataset, list(range(n)), seed=0)
-    t0 = time.time()
-    done = 0
-    for idx, s in pf:
-        imgs, cam, shapes = to_eval_inputs(s)
-        boxes, scores, labels, valid = jax.device_get(
-            fwd(variables, imgs, cam, shapes))
-        preds.append(res.boxes_to_pred_dict(boxes, scores, labels, valid))
-        gts.append(res.gt_dict_from_info(dataset.infos[idx]))
-        tokens.append(s['token'])
-        done += 1
-        if done % 50 == 0:
-            print(f'{done}/{n}  {done / (time.time() - t0):.2f} samples/s')
-    pf.close()
-
+    from mv2d_tpu.eval.runner import run_eval
+    metrics, sub = run_eval(model, variables, dataset,
+                            max_samples=args.max_samples,
+                            collect_submission=bool(args.out))
     if args.out:
-        infos_by_token = {i['token']: i for i in dataset.infos}
-        sub = res.to_nuscenes_submission(tokens, preds, infos_by_token)
         res.save_submission(args.out, sub)
         print('wrote', args.out)
     if args.format_only:
         return
-    metrics = nuscenes_eval.evaluate(preds, gts)
     print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()
                       if k in ('mAP', 'NDS') or k.startswith('m')}, indent=2))
     for c in nuscenes_eval.CLASSES:

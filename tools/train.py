@@ -144,6 +144,25 @@ def main():
         if jax.process_index() == 0:
             save_checkpoint(os.path.join(args.work_dir, f'epoch_{epoch + 1}'),
                             jax.device_get(state))
+        # eval hook (ref: evaluation.interval, exp config :195)
+        eval_interval = cfg.get('evaluation', {}).get('interval', 0)
+        if (eval_interval and (epoch + 1) % eval_interval == 0
+                and 'val' in cfg.get('data', {})
+                and jax.process_index() == 0):
+            from mv2d_tpu.eval.runner import run_eval
+            val_ds = build_dataset(cfg, 'val')
+            variables_eval = {'params': state.params,
+                              'constants': state.constants}
+            metrics, _ = run_eval(model, variables_eval, val_ds,
+                                  max_samples=cfg.get('evaluation', {}).get(
+                                      'max_samples'))
+            line = {f'val_{k}': round(float(v), 4)
+                    for k, v in metrics.items()
+                    if k in ('mAP', 'NDS') or k.startswith('m')}
+            line['epoch'] = epoch + 1
+            print(json.dumps(line))
+            with open(log_path, 'a') as f:
+                f.write(json.dumps(line) + '\n')
         if args.max_steps and global_step >= args.max_steps:
             break
     print('training done, step', global_step)

@@ -74,10 +74,12 @@ def main():
 
     model = MV2D(cfg)
     t0 = time.time()
-    variables = jax.jit(model.init, static_argnames=())(
+    init_fn = jax.jit(lambda r, *a: model.init(
+        r, *a, method=MV2D.forward_train))
+    variables = init_fn(
         {'params': jax.random.PRNGKey(0), 'aug': jax.random.PRNGKey(1),
          'dn': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
-        imgs, cam, shapes, gt2d, gt3d, method=MV2D.forward_train)
+        imgs, cam, shapes, gt2d, gt3d)
     print(f'init {time.time() - t0:.1f}s', flush=True)
     tx = make_optimizer(variables['params'], total_steps=1000)
     state = init_train_state(model, variables, tx)
