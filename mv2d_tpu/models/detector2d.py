@@ -82,10 +82,15 @@ class TwoStageDetector(nn.Module):
                              iou_threshold=cfg.rpn_iou_threshold)
 
     def roi_forward(self, feats: Sequence[jnp.ndarray],
-                    rois: jnp.ndarray, view_idx: jnp.ndarray):
-        """rois: [N, 4] image-pixel boxes; view_idx: [N]."""
+                    rois: jnp.ndarray, view_idx: jnp.ndarray,
+                    differentiable: bool = False):
+        """rois: [N, 4] image-pixel boxes; view_idx: [N].
+
+        differentiable=True (training) uses the XLA gather align (the Pallas
+        patch-DMA kernel has no VJP yet); inference uses the kernel on TPU.
+        """
         import jax
-        if jax.default_backend() == 'tpu':
+        if jax.default_backend() == 'tpu' and not differentiable:
             from ..ops.pallas_roi_align import pallas_multilevel_roi_align
             roi_feats = pallas_multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],

@@ -440,5 +440,6 @@ class MV2D(nn.Module):
 
     def rcnn_train_forward(self, fpn_feats, rois: jnp.ndarray,
                            view_idx: jnp.ndarray):
-        """RCNN head on sampled training RoIs."""
-        return self.base_detector.roi_forward(fpn_feats, rois, view_idx)
+        """RCNN head on sampled training RoIs (differentiable align path)."""
+        return self.base_detector.roi_forward(fpn_feats, rois, view_idx,
+                                              differentiable=True)
