@@ -184,12 +184,44 @@ def pallas_multilevel_roi_align(feats: Sequence[jnp.ndarray],
                                 patch: int = 32,
                                 overflow_bucket: int = 256,
                                 interpret: bool | None = None) -> jnp.ndarray:
-    """Drop-in replacement for ops.roi_align.multilevel_roi_align.
+    """Drop-in replacement for ops.roi_align.multilevel_roi_align
+    (inference / no-grad paths only - tangents are ZERO; training uses the
+    differentiable XLA gather align).
 
     mmdet routes by sqrt(area), so extreme-aspect RoIs can span more cells
     than the DMA patch on their long side; those (rare) RoIs are diverted to
     an `overflow_bucket`-sized XLA-gather fallback so results stay exact.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    fn = _make_pma(tuple(strides), output_size, sampling_ratio,
+                   finest_scale, rois_per_step, patch, overflow_bucket,
+                   interpret)
+    return fn(tuple(feats), rois, view_idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pma(strides, output_size, sampling_ratio, finest_scale,
+              rois_per_step, patch, overflow_bucket, interpret):
+    """custom_jvp wrapper with ZERO tangents (no-grad usage only)."""
+
+    @jax.custom_jvp
+    def f(feats, rois, view_idx):
+        return _pma_impl(feats, rois, view_idx, strides, output_size,
+                         sampling_ratio, finest_scale, rois_per_step, patch,
+                         overflow_bucket, interpret)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = f(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f
+
+
+def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
+              finest_scale, rois_per_step, patch, overflow_bucket,
+              interpret):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     from .roi_align import multilevel_roi_align
