@@ -55,6 +55,7 @@ class TwoStageDetector(nn.Module):
     fpn_channels: int = 256
     rcnn_fc_channels: int = 1024
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    remat: bool = False
 
     def setup(self):
         if self.backbone_type == 'vovnet':
@@ -62,7 +63,8 @@ class TwoStageDetector(nn.Module):
             self.backbone = VoVNet(depth=self.depth)
         else:
             self.backbone = ResNet(depth=self.depth,
-                                   stage_with_dcn=self.stage_with_dcn)
+                                   stage_with_dcn=self.stage_with_dcn,
+                                   remat=self.remat)
         self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
         self.rpn_head = RPNHead(feat_channels=self.fpn_channels)
         self.bbox_head = Shared2FCBBoxHead(

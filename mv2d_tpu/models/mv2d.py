@@ -146,7 +146,7 @@ class MV2D(nn.Module):
             depth=c.depth, num_classes=c.num_classes,
             backbone_type=c.backbone_type,
             stage_with_dcn=c.stage_with_dcn, fpn_channels=c.fpn_channels,
-            rcnn_fc_channels=c.rcnn_fc_channels)
+            rcnn_fc_channels=c.rcnn_fc_channels, remat=c.remat)
         # neck: p4-selecting FPN-on-FPN (ref ..._ep24.py:32-39)
         self.neck = FPN(out_channels=c.embed_dims, num_outs=1,
                         start_level=2, end_level=2)
@@ -247,10 +247,11 @@ class MV2D(nn.Module):
         wh = flat_boxes[:, 2:4] - flat_boxes[:, 0:2]
         intrins_ok = jnp.all(wh >= 4.0, axis=1) & flat_valid
 
-        # RoIAlign on feat ++ 3dpe (ref mv2d_head.py:114-119)
+        # RoIAlign on feat ++ 3dpe (ref mv2d_head.py:114-119); chunked so the
+        # training-path gather transient stays bounded
         cat = jnp.concatenate([p4, pos], axis=-1)
         roi_feats = roi_align(cat, flat_boxes, view_idx, 1.0 / c.stride,
-                              c.roi_size, sampling_ratio=2)
+                              c.roi_size, sampling_ratio=2, chunk=512)
         bbox_feats, roi_pe = jnp.split(roi_feats, 2, axis=-1)
 
         ref_pts, _ = self.query_generator(bbox_feats, Kv,

@@ -57,14 +57,19 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns the four stage outputs (strides 4, 8, 16, 32)."""
+    """Returns the four stage outputs (strides 4, 8, 16, 32).
+
+    remat=True rematerializes each bottleneck in the backward pass (the
+    reference's backbone with_cp=True, exp config :27)."""
     depth: int = 50
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         blocks = STAGE_BLOCKS[self.depth]
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
                     use_bias=False, name='stem_conv')(x)
         x = FrozenBatchNorm(64, name='stem_bn')(x)
@@ -75,7 +80,7 @@ class ResNet(nn.Module):
         for stage, n in enumerate(blocks):
             stride = 1 if stage == 0 else 2
             for i in range(n):
-                x = Bottleneck(
+                x = block_cls(
                     planes,
                     stride=stride if i == 0 else 1,
                     downsample=(i == 0),

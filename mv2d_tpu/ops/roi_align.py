@@ -112,14 +112,30 @@ def _bilinear_gather_blocks(feat: jnp.ndarray, view_idx: jnp.ndarray,
 def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
               spatial_scale: float, output_size: int = 7,
               sampling_ratio: int = 2, aligned: bool = True,
-              block_layout: bool = True) -> jnp.ndarray:
+              block_layout: bool = True,
+              chunk: int | None = None) -> jnp.ndarray:
     """RoIAlign.
 
     feat: [V, H, W, C] (channels-last); rois: [R, 4] (x1,y1,x2,y2) in IMAGE
     pixels; view_idx: [R] which view each roi lives in.
     Returns [R, output_size, output_size, C].
+
+    `chunk` bounds the [R, samples, C] gather transient (lax.map over RoI
+    chunks) - needed when R*C is large in training (AD keeps the temp live).
     """
     R = rois.shape[0]
+    if chunk is not None and R > chunk:
+        nb = -(-R // chunk)
+        pad = nb * chunk - R
+        rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+        view_p = jnp.pad(view_idx, (0, pad))
+        out = jax.lax.map(
+            lambda args: roi_align(feat, args[0], args[1], spatial_scale,
+                                   output_size, sampling_ratio, aligned,
+                                   block_layout),
+            (rois_p.reshape(nb, chunk, 4), view_p.reshape(nb, chunk)))
+        O = output_size
+        return out.reshape(nb * chunk, O, O, feat.shape[-1])[:R]
     S = max(sampling_ratio, 1)
     O = output_size
     offset = 0.5 if aligned else 0.0
