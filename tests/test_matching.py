@@ -60,3 +60,57 @@ def test_bbox_l1_cost():
     gt = jnp.ones((3, 10))
     cost = np.asarray(M.bbox3d_l1_cost(pred, gt, weight=0.25))
     np.testing.assert_allclose(cost, 0.25 * 8.0)
+
+
+def test_jv_on_device_matches_scipy(rng):
+    """On-device JV must be EXACTLY optimal (same algorithm as scipy)."""
+    for q, g in [(40, 8), (300, 40), (100, 100), (64, 64)]:
+        cost = rng.uniform(0, 5, (q, g)).astype(np.float32)
+        qv = np.ones(q, bool)
+        gv = np.ones(g, bool)
+        owner = np.asarray(M.jv_assign(jnp.asarray(cost), jnp.asarray(gv),
+                                       jnp.asarray(qv)))
+        matched = owner >= 0
+        assert matched.sum() == g
+        assert len(set(owner[matched])) == g          # one-to-one
+        got = cost[np.where(matched)[0], owner[matched]].sum()
+        rows, cols = linear_sum_assignment(cost)
+        want = cost[rows, cols].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_auction_valid_one_to_one(rng):
+    """Auction (approximate fallback) must at least be a valid matching."""
+    cost = rng.uniform(0, 5, (40, 8)).astype(np.float32)
+    owner = np.asarray(M.auction_assign(
+        jnp.asarray(cost), jnp.ones(8, bool), jnp.ones(40, bool)))
+    matched = owner >= 0
+    assert matched.sum() == 8
+    assert len(set(owner[matched])) == 8
+
+
+def test_auction_respects_validity(rng):
+    q, g = 20, 6
+    cost = rng.uniform(0, 5, (q, g)).astype(np.float32)
+    qv = np.ones(q, bool); qv[15:] = False
+    gv = np.ones(g, bool); gv[4:] = False
+    owner = np.asarray(M.auction_assign(jnp.asarray(cost), jnp.asarray(gv),
+                                        jnp.asarray(qv)))
+    matched = owner >= 0
+    assert matched.sum() == 4
+    assert not matched[15:].any()
+    assert set(owner[matched]) == {0, 1, 2, 3}
+
+
+def test_hungarian_assign_jv_method(rng):
+    Q, G = 16, 8
+    cost = rng.uniform(0, 5, (Q, G)).astype(np.float32)
+    qv = np.ones(Q, bool); qv[12:] = False
+    gv = np.ones(G, bool); gv[5:] = False
+    assigned, pos = jax.jit(
+        lambda c, q, g: M.hungarian_assign(c, q, g, method='jv'))(
+        jnp.asarray(cost), jnp.asarray(qv), jnp.asarray(gv))
+    assigned, pos = np.asarray(assigned), np.asarray(pos)
+    assert pos.sum() == 5
+    assert set(assigned[pos].tolist()) == {0, 1, 2, 3, 4}
+    assert not pos[12:].any()
