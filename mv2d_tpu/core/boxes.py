@@ -142,6 +142,42 @@ def _clip_polygon_halfplane(poly: jnp.ndarray, count: jnp.ndarray,
     return pts[..., :P, :], new_count
 
 
+def iou_3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
+           eps: float = 1e-8) -> jnp.ndarray:
+    """Pairwise 3D IoU of bottom-center boxes (x, y, z, w, l, h, yaw).
+
+    BEV polygon intersection x vertical overlap (replaces the mmdet3d
+    iou3d calculators registered by the reference, core/bbox/
+    iou_calculators/iou3d_calculator.py - unused by the MV2D loss path but
+    part of the public surface).  boxes_a: [n, >=7], boxes_b: [m, >=7].
+    """
+    bev_a = jnp.stack([boxes_a[:, 0], boxes_a[:, 1], boxes_a[:, 3],
+                       boxes_a[:, 4], boxes_a[:, 6]], axis=-1)
+    bev_b = jnp.stack([boxes_b[:, 0], boxes_b[:, 1], boxes_b[:, 3],
+                       boxes_b[:, 4], boxes_b[:, 6]], axis=-1)
+    ca = bev_corners(bev_a)
+    cb = bev_corners(bev_b)
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    P = 16
+    poly = jnp.tile(ca[:, None], (1, m, 1, 1))
+    poly = jnp.pad(poly, ((0, 0), (0, 0), (0, P - 4), (0, 0)))
+    count = jnp.full((n, m), 4, dtype=jnp.int32)
+    for e in range(4):
+        p0 = jnp.broadcast_to(cb[None, :, e], (n, m, 2))
+        p1 = jnp.broadcast_to(cb[None, :, (e + 1) % 4], (n, m, 2))
+        poly, count = _clip_polygon_halfplane(poly, count, p0, p1)
+    valid = jnp.arange(P) < count[..., None]
+    inter_bev = _polygon_area(poly, valid)
+    z1 = jnp.maximum(boxes_a[:, None, 2], boxes_b[None, :, 2])
+    z2 = jnp.minimum(boxes_a[:, None, 2] + boxes_a[:, None, 5],
+                     boxes_b[None, :, 2] + boxes_b[None, :, 5])
+    inter_h = jnp.maximum(z2 - z1, 0.0)
+    inter = inter_bev * inter_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter / jnp.maximum(vol_a + vol_b - inter, eps)
+
+
 def rotated_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
                     eps: float = 1e-8) -> jnp.ndarray:
     """Pairwise IoU of rotated BEV boxes (cx, cy, w, l, yaw).

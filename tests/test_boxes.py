@@ -67,3 +67,21 @@ def test_rotated_iou_90deg():
     b = jnp.asarray([[0., 0., 2., 4., np.pi / 2]])
     iou = float(B.rotated_iou_bev(a, b)[0, 0])
     np.testing.assert_allclose(iou, 4.0 / 12.0, atol=1e-4)
+
+
+def test_iou_3d_identity_and_disjoint():
+    a = jnp.asarray([[0., 0., 0., 2., 4., 2., 0.3, 0., 0.]])
+    b = jnp.asarray([[0., 0., 0., 2., 4., 2., 0.3, 0., 0.],
+                     [0., 0., 5., 2., 4., 2., 0.3, 0., 0.],   # above: no z overlap
+                     [20., 0., 0., 2., 4., 2., 0.3, 0., 0.]])
+    iou = np.asarray(B.iou_3d(a, b))[0]
+    np.testing.assert_allclose(iou[0], 1.0, atol=1e-5)
+    assert iou[1] < 1e-6 and iou[2] < 1e-6
+
+
+def test_iou_3d_half_height_overlap():
+    a = jnp.asarray([[0., 0., 0., 2., 2., 2., 0., 0., 0.]])
+    b = jnp.asarray([[0., 0., 1., 2., 2., 2., 0., 0., 0.]])
+    iou = float(B.iou_3d(a, b)[0, 0])
+    # intersection = 2*2*1 = 4, union = 8+8-4 = 12
+    np.testing.assert_allclose(iou, 4 / 12, atol=1e-5)
