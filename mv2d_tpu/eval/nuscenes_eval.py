@@ -130,17 +130,24 @@ def average_precision(tp: np.ndarray, npos: int) -> float:
 
 
 def tp_error_mean(errors: List[float], tp: np.ndarray, npos: int) -> float:
-    """Mean TP error over the recall > MIN_RECALL region (devkit calc_tp:
-    cumulative mean of errors, evaluated at the max achieved recall)."""
+    """devkit calc_tp: cumulative mean of TP errors interpolated onto the
+    101-point recall grid, averaged between MIN_RECALL and the max achieved
+    recall."""
     if npos == 0:
         return float('nan')
-    if len(errors) == 0:
+    if len(errors) == 0 or len(tp) == 0 or tp.sum() == 0:
         return 1.0
-    # errors are already in score-descending match order
-    rec = np.cumsum(tp) / npos if len(tp) else np.zeros(0)
-    # index of first match past min recall
-    e = np.asarray(errors)
-    return float(e.mean())
+    e = np.asarray(errors, np.float64)           # per-match, score-desc order
+    cum_mean = np.cumsum(e) / np.arange(1, len(e) + 1)
+    # recall achieved at each MATCH (tp entries only)
+    rec_at_match = np.arange(1, len(e) + 1) / npos
+    rec_interp = np.linspace(0, 1, 101)
+    max_rec = rec_at_match[-1]
+    sel = (rec_interp > MIN_RECALL) & (rec_interp <= max_rec + 1e-9)
+    if not sel.any():
+        return 1.0
+    vals = np.interp(rec_interp[sel], rec_at_match, cum_mean)
+    return float(vals.mean())
 
 
 def evaluate(preds: List[dict], gts: List[dict],

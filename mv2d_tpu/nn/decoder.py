@@ -54,8 +54,11 @@ class MHA(nn.Module):
         if (self.use_flash and deterministic and allowed is not None
                 and q.shape[0] == 1 and allowed.ndim == 3):
             from ..ops.pallas_attention import masked_flash_attention
-            out = masked_flash_attention(qp[0], kp[0], vp[0], allowed[0],
-                                         self.num_heads)[None]
+            # bf16 panels keep the kernel inside the 16 MB VMEM budget
+            out = masked_flash_attention(
+                qp[0].astype(jnp.bfloat16), kp[0].astype(jnp.bfloat16),
+                vp[0].astype(jnp.bfloat16), allowed[0],
+                self.num_heads)[None].astype(qp.dtype)
         else:
             out = multi_head_attention(qp, kp, vp, self.num_heads, allowed)
         out = nn.Dense(self.embed_dims, name='out_proj')(out)

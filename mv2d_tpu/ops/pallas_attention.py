@@ -62,7 +62,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
 
 def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            allowed: jnp.ndarray, num_heads: int,
-                           block_q: int = 128, block_k: int = 1024,
+                           block_q: int = 64, block_k: int = 1024,
                            interpret: bool | None = None) -> jnp.ndarray:
     """q: [Q, C]; k, v: [K, C]; allowed: [Q, K] bool -> [Q, C].
 
