@@ -1,7 +1,6 @@
 """Shared NN building blocks (flax.linen, channels-last)."""
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -32,35 +31,3 @@ class FrozenBatchNorm(nn.Module):
         inv = inv.astype(x.dtype)
         return (x - mean.value.astype(x.dtype)) * inv * gamma.astype(x.dtype) \
             + beta.astype(x.dtype)
-
-
-class ConvBNReLU(nn.Module):
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    use_relu: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride,
-                    padding=[(self.kernel // 2,) * 2] * 2, use_bias=False)(x)
-        x = FrozenBatchNorm(self.features)(x)
-        if self.use_relu:
-            x = nn.relu(x)
-        return x
-
-
-class MLP(nn.Module):
-    """Stack of Linear(+activation) layers."""
-    features: tuple
-    activate_final: bool = False
-    activation: Callable = nn.relu
-
-    @nn.compact
-    def __call__(self, x):
-        for i, f in enumerate(self.features):
-            x = nn.Dense(f)(x)
-            if i < len(self.features) - 1 or self.activate_final:
-                x = self.activation(x)
-        return x
