@@ -235,14 +235,30 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
     strides_arr = jnp.asarray(strides, dtype=rois.dtype)[lvl]
     w_cells = (rois[:, 2] - rois[:, 0]) / strides_arr
     h_cells = (rois[:, 3] - rois[:, 1]) / strides_arr
+    small_patch = patch // 2
+    fits_small = (w_cells <= small_patch - 3) & (h_cells <= small_patch - 3)
     fits = ((w_cells <= patch - 3) & (h_cells <= patch - 3)) | (lvl == L - 1)
 
     out = None
     for i, f in enumerate(feats):
-        o = _level_align(f, rois, view_idx, (lvl == i) & fits,
-                         float(strides[i]), output_size, sampling_ratio,
-                         rois_per_step, patch, interpret,
-                         full_patch=(i == L - 1))
+        last = i == L - 1
+        on_lvl = lvl == i
+        if last:
+            o = _level_align(f, rois, view_idx, on_lvl & fits,
+                             float(strides[i]), output_size, sampling_ratio,
+                             rois_per_step, patch, interpret,
+                             full_patch=True)
+        else:
+            # two passes: half-size patches for small RoIs (most real
+            # detections) - 4x less DMA - and full patches for the rest
+            o = _level_align(f, rois, view_idx, on_lvl & fits_small,
+                             float(strides[i]), output_size, sampling_ratio,
+                             rois_per_step, small_patch, interpret)
+            o = o + _level_align(f, rois, view_idx,
+                                 on_lvl & fits & ~fits_small,
+                                 float(strides[i]), output_size,
+                                 sampling_ratio, rois_per_step, patch,
+                                 interpret)
         out = o if out is None else out + o
 
     if overflow_bucket > 0:
