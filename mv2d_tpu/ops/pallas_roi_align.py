@@ -64,54 +64,62 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
 
     n_samp = O * S
     # sample centers in bin units: (q + 0.5)/S == bin(q//S) + (q%S + 0.5)/S
-    samp = (jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
-            .astype(jnp.float32) + 0.5) / S
+    samp = (jax.lax.broadcasted_iota(jnp.int32, (1, n_samp, 1), 1)
+            .astype(jnp.float32) + 0.5) / S               # [1, n_samp, 1]
+
+    # per-roi scalars -> [nr, 1, 1] vectors (compute is batched over nr)
+    def vec(ref, f32=True):
+        vals = [ref[base + j] for j in range(nr)]
+        v = jnp.stack(vals).reshape(nr, 1, 1)
+        return v.astype(jnp.float32) if f32 else v
+
+    y1 = vec(y1_ref); x1 = vec(x1_ref)
+    bh = vec(bh_ref); bw = vec(bw_ref)
+    H = vec(hf_ref); W = vec(wf_ref)
+    oy = vec(py_ref); ox = vec(px_ref)
+    ys = y1 + samp * bh                                   # [nr, n_samp, 1]
+    xs = x1 + samp * bw
+    in_y = (ys > -1.0) & (ys < H)
+    in_x = (xs > -1.0) & (xs < W)
+    ys = jnp.clip(ys, 0.0, H - 1) - oy
+    xs = jnp.clip(xs, 0.0, W - 1) - ox
+    cell_y = jax.lax.broadcasted_iota(jnp.int32, (nr, n_samp, ph),
+                                      2).astype(jnp.float32)
+    cell_x = jax.lax.broadcasted_iota(jnp.int32, (nr, n_samp, pw),
+                                      2).astype(jnp.float32)
+    ay = jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y
+    ax = jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x
 
     for j in range(nr):
         @pl.when(active_ref[base + j] > 0)
         def _():
             dma(j).wait()
-            y1 = y1_ref[base + j]
-            x1 = x1_ref[base + j]
-            bh = bh_ref[base + j]
-            bw = bw_ref[base + j]
-            H = hf_ref[base + j]
-            W = wf_ref[base + j]
-            oy = py_ref[base + j].astype(jnp.float32)
-            ox = px_ref[base + j].astype(jnp.float32)
-            ys = y1 + samp * bh                           # [n_samp, 1]
-            xs = x1 + samp * bw
-            in_y = (ys > -1.0) & (ys < H)
-            in_x = (xs > -1.0) & (xs < W)
-            ys = jnp.clip(ys, 0.0, H - 1) - oy
-            xs = jnp.clip(xs, 0.0, W - 1) - ox
-            cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
-                                              1).astype(jnp.float32)
-            cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
-                                              1).astype(jnp.float32)
-            ay = jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y
-            ax = jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x
-            # matmul in the feature dtype (bf16 on TPU) with f32 accumulation
-            patch = patch_scratch[j]                      # [ph, pw, C]
-            C = patch.shape[-1]
-            tmp = jax.lax.dot_general(
-                ay.astype(patch.dtype), patch.reshape(ph, pw * C),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [n_samp, pw*C]
-            tmp = tmp.reshape(n_samp, pw, C).astype(patch.dtype)
-            # out[q, p, c] = sum_x ax[q, x] tmp[p, x, c]
-            full = jax.lax.dot_general(
-                ax.astype(patch.dtype), tmp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [q, p, C]
-            full = full.transpose(1, 0, 2)                # [p(y), q(x), C]
-            full = full.reshape(O, S, O, S, C)
-            out = full.mean(axis=(1, 3))
-            out_ref[j] = out.astype(out_ref.dtype)
 
-    for j in range(nr):
+        # inactive slots hold uninitialized VMEM (NaN bit patterns would
+        # poison the batched dot even under zero weights) - zero them
         @pl.when(active_ref[base + j] == 0)
         def _():
-            out_ref[j] = jnp.zeros_like(out_ref[j])
+            patch_scratch[j] = jnp.zeros_like(patch_scratch[j])
+
+    # one batched pair of dots over all nr rois (tiny per-roi matmuls are
+    # dispatch-bound; batching amortizes the MXU setup)
+    patches = patch_scratch[:]                            # [nr, ph, pw, C]
+    C = patches.shape[-1]
+    tmp = jax.lax.dot_general(
+        ay.astype(patches.dtype), patches.reshape(nr, ph, pw * C),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [nr, n_samp, pw*C]
+    tmp = tmp.reshape(nr, n_samp, pw, C).astype(patches.dtype)
+    tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, n_samp * C)
+    full = jax.lax.dot_general(
+        ax.astype(patches.dtype), tmp,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [nr, q, p*C]
+    full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
+    full = full.reshape(nr, O, S, O, S, C)
+    out = full.mean(axis=(2, 4))                          # [nr, O, O, C]
+    act = jnp.stack([active_ref[base + j] for j in range(nr)]) > 0
+    out_ref[:] = (out * act[:, None, None, None]).astype(out_ref.dtype)
 
 
 def _stacked_align(stacked: jnp.ndarray, scalars: dict, active: jnp.ndarray,
