@@ -64,31 +64,35 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
 
     n_samp = O * S
     # sample centers in bin units: (q + 0.5)/S == bin(q//S) + (q%S + 0.5)/S
-    samp = (jax.lax.broadcasted_iota(jnp.int32, (1, n_samp, 1), 1)
-            .astype(jnp.float32) + 0.5) / S               # [1, n_samp, 1]
+    samp = (jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
+            .astype(jnp.float32) + 0.5) / S               # [n_samp, 1]
+    cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
+                                      1).astype(jnp.float32)
+    cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
+                                      1).astype(jnp.float32)
 
-    # per-roi scalars -> [nr, 1, 1] vectors (compute is batched over nr)
-    def vec(ref, f32=True):
-        vals = [ref[base + j] for j in range(nr)]
-        v = jnp.stack(vals).reshape(nr, 1, 1)
-        return v.astype(jnp.float32) if f32 else v
-
-    y1 = vec(y1_ref); x1 = vec(x1_ref)
-    bh = vec(bh_ref); bw = vec(bw_ref)
-    H = vec(hf_ref); W = vec(wf_ref)
-    oy = vec(py_ref); ox = vec(px_ref)
-    ys = y1 + samp * bh                                   # [nr, n_samp, 1]
-    xs = x1 + samp * bw
-    in_y = (ys > -1.0) & (ys < H)
-    in_x = (xs > -1.0) & (xs < W)
-    ys = jnp.clip(ys, 0.0, H - 1) - oy
-    xs = jnp.clip(xs, 0.0, W - 1) - ox
-    cell_y = jax.lax.broadcasted_iota(jnp.int32, (nr, n_samp, ph),
-                                      2).astype(jnp.float32)
-    cell_x = jax.lax.broadcasted_iota(jnp.int32, (nr, n_samp, pw),
-                                      2).astype(jnp.float32)
-    ay = jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y
-    ax = jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x
+    # per-roi weight blocks built in 2D (scalar broadcasts), then stacked -
+    # Mosaic supports 2D scalar math + stacking, not 1D->3D reshapes
+    ays, axs = [], []
+    for j in range(nr):
+        y1 = y1_ref[base + j]
+        x1 = x1_ref[base + j]
+        bh = bh_ref[base + j]
+        bw = bw_ref[base + j]
+        H = hf_ref[base + j]
+        W = wf_ref[base + j]
+        oy = py_ref[base + j].astype(jnp.float32)
+        ox = px_ref[base + j].astype(jnp.float32)
+        ys = y1 + samp * bh                               # [n_samp, 1]
+        xs = x1 + samp * bw
+        in_y = (ys > -1.0) & (ys < H)
+        in_x = (xs > -1.0) & (xs < W)
+        ys = jnp.clip(ys, 0.0, H - 1) - oy
+        xs = jnp.clip(xs, 0.0, W - 1) - ox
+        ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y)
+        axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x)
+    ay = jnp.stack(ays)                                   # [nr, n_samp, ph]
+    ax = jnp.stack(axs)                                   # [nr, n_samp, pw]
 
     for j in range(nr):
         @pl.when(active_ref[base + j] > 0)
@@ -118,8 +122,10 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
     full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
     full = full.reshape(nr, O, S, O, S, C)
     out = full.mean(axis=(2, 4))                          # [nr, O, O, C]
-    act = jnp.stack([active_ref[base + j] for j in range(nr)]) > 0
-    out_ref[:] = (out * act[:, None, None, None]).astype(out_ref.dtype)
+    # inactive slots already yield exact zeros: their patch was zeroed above
+    # and the hat weights are finite, so no explicit mask is needed (a 1D
+    # active vector can't broadcast to 4D under Mosaic anyway)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _stacked_align(stacked: jnp.ndarray, scalars: dict, active: jnp.ndarray,
@@ -174,6 +180,13 @@ def pallas_multilevel_roi_align(feats: Sequence[jnp.ndarray],
     (inference / no-grad paths only - tangents are ZERO)."""
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    if not interpret and feats[0].shape[-1] % 128 != 0:
+        # Mosaic only supports the kernel's [ph, pw, C] -> [ph, pw*C] merge
+        # when C fills whole 128-lane registers; small-channel configs
+        # (tests / tiny models) take the exact XLA gather path instead
+        from .roi_align import multilevel_roi_align
+        return multilevel_roi_align(feats, rois, view_idx, strides,
+                                    output_size, sampling_ratio, finest_scale)
     fn = _make_pma(tuple(strides), output_size, sampling_ratio,
                    finest_scale, rois_per_step, patch, overflow_bucket,
                    interpret)
