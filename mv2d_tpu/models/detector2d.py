@@ -71,9 +71,13 @@ class TwoStageDetector(nn.Module):
             num_classes=self.num_classes,
             fc_out_channels=self.rcnn_fc_channels)
 
-    def extract_feat(self, imgs: jnp.ndarray) -> Sequence[jnp.ndarray]:
-        """imgs: [V, H, W, 3] -> FPN levels p2..p6 (channels-last)."""
-        return self.fpn(self.backbone(imgs))
+    def extract_feat(self, imgs: jnp.ndarray,
+                     fast_inference: bool = False) -> Sequence[jnp.ndarray]:
+        """imgs: [V, H, W, 3] -> FPN levels p2..p6 (channels-last).
+
+        fast_inference routes DCN blocks through the no-grad Pallas band
+        kernel (TPU eval path only)."""
+        return self.fpn(self.backbone(imgs, fast_inference))
 
     def rpn(self, feats: Sequence[jnp.ndarray],
             image_shape: Tuple[int, int], cfg: DetectionProposalCfg):

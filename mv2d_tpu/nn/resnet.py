@@ -31,14 +31,15 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fast_inference: bool = False):
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
         out = FrozenBatchNorm(self.planes, name='bn1')(out)
         out = nn.relu(out)
         if self.use_dcn:
             out = ModulatedDeformConv(self.planes, 3, self.stride,
-                                      name='conv2')(out)
+                                      name='conv2')(out,
+                                                    use_pallas=fast_inference)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=self.stride,
                           padding=[(1, 1)] * 2, use_bias=False,
@@ -67,7 +68,7 @@ class ResNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, fast_inference: bool = False):
         blocks = STAGE_BLOCKS[self.depth]
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
@@ -85,7 +86,7 @@ class ResNet(nn.Module):
                     stride=stride if i == 0 else 1,
                     downsample=(i == 0),
                     use_dcn=self.stage_with_dcn[stage],
-                    name=f'layer{stage + 1}_{i}')(x)
+                    name=f'layer{stage + 1}_{i}')(x, fast_inference)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

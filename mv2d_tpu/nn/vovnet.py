@@ -86,7 +86,8 @@ class VoVNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fast_inference: bool = False):
+        # fast_inference accepted for backbone-interface parity (no DCN here)
         stem_ch, conv_ch, out_ch, n_layers, blocks = SPECS[self.depth]
         x = ConvBN(stem_ch[0], 3, 2, name='stem_0')(x)
         x = ConvBN(stem_ch[1], 3, 1, name='stem_1')(x)

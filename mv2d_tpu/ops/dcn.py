@@ -50,7 +50,9 @@ class ModulatedDeformConv(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, use_pallas: bool = False
+                 ) -> jnp.ndarray:
+        import jax
         V, H, W, C = x.shape
         K = self.kernel
         pad = K // 2
@@ -73,11 +75,22 @@ class ModulatedDeformConv(nn.Module):
         # [V, Ho, Wo, K*K]  (mmcv offset channel order: (dy, dx) per tap)
         sy = base_y[None] + off[..., 0]
         sx = base_x[None] + off[..., 1]
+        w = self.param('kernel', nn.initializers.he_normal(),
+                       (K * K, C, self.features))
+        if (use_pallas and K == 3 and C % 128 == 0
+                and jax.default_backend() == 'tpu'):
+            # band kernel: no gradient (zero tangents); inference only
+            from .pallas_dcn import pallas_dcn_samples
+            smp = pallas_dcn_samples(x, sy.astype(jnp.float32),
+                                     sx.astype(jnp.float32),
+                                     mask.astype(jnp.float32),
+                                     stride=self.stride)   # [V,Ho,Wo,9C]
+            return jnp.einsum(
+                'vhwq,qf->vhwf', smp, w.reshape(K * K * C, self.features),
+                preferred_element_type=jnp.float32).astype(x.dtype)
         P = Ho * Wo * K * K
         samples = _dense_bilinear(x, sx.reshape(V, P), sy.reshape(V, P))
         samples = samples.reshape(V, Ho, Wo, K * K, C)
         samples = samples * mask[..., None]
-        w = self.param('kernel', nn.initializers.he_normal(),
-                       (K * K, C, self.features))
         return jnp.einsum('vhwkc,kcf->vhwf', samples, w,
                           preferred_element_type=jnp.float32).astype(x.dtype)

@@ -1,0 +1,76 @@
+"""Pallas DCN band-kernel parity vs the XLA gather path (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv2d_tpu.ops.dcn import _dense_bilinear
+from mv2d_tpu.ops.pallas_dcn import pallas_dcn_samples
+
+
+def _xla_samples(x, sy, sx, m):
+    V, H, W, C = x.shape
+    Ho, Wo, T = sy.shape[1], sy.shape[2], sy.shape[3]
+    P = Ho * Wo * T
+    smp = _dense_bilinear(x, sx.reshape(V, P), sy.reshape(V, P))
+    smp = smp.reshape(V, Ho, Wo, T, C) * m[..., None]
+    return smp.reshape(V, Ho, Wo, T * C)
+
+
+@pytest.mark.parametrize('stride,shape,off_scale', [
+    (1, (3, 32, 88, 128), 2.0),
+    (1, (2, 16, 44, 128), 5.0),
+    (2, (2, 32, 88, 128), 3.0),
+])
+def test_band_kernel_matches_gather(stride, shape, off_scale):
+    np.random.seed(0)
+    V, H, W, C = shape
+    Ho, Wo = H // stride, W // stride
+    x = jnp.asarray(np.random.randn(V, H, W, C).astype(np.float32))
+    ky, kx = np.meshgrid(np.arange(3), np.arange(3), indexing='ij')
+    base_y = (np.arange(Ho) * stride - 1)[:, None, None] + ky.reshape(-1)
+    base_x = (np.arange(Wo) * stride - 1)[None, :, None] + kx.reshape(-1)
+    off = np.random.randn(V, Ho, Wo, 9, 2) * off_scale
+    sy = jnp.asarray((base_y[None] + off[..., 0]).astype(np.float32))
+    sx = jnp.asarray((base_x[None] + off[..., 1]).astype(np.float32))
+    m = jnp.asarray(np.random.rand(V, Ho, Wo, 9).astype(np.float32))
+
+    ref = _xla_samples(x, sy, sx, m)
+    out = pallas_dcn_samples(x, sy, sx, m, stride=stride, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_large_offsets_use_fallback():
+    """Offsets way beyond the band margin must still be exact."""
+    np.random.seed(1)
+    V, H, W, C = 2, 32, 88, 128
+    x = jnp.asarray(np.random.randn(V, H, W, C).astype(np.float32))
+    ky, kx = np.meshgrid(np.arange(3), np.arange(3), indexing='ij')
+    base_y = (np.arange(H) - 1)[:, None, None] + ky.reshape(-1)
+    base_x = (np.arange(W) - 1)[None, :, None] + kx.reshape(-1)
+    off = np.zeros((V, H, W, 9, 2), np.float32)
+    # a handful of big jumps (up to +-25 px)
+    off[0, 5, 7, 3] = (20.0, -25.0)
+    off[1, 20, 60, 8] = (-18.0, 30.0)
+    off[0, 31, 87, 0] = (15.0, 15.0)
+    sy = jnp.asarray((base_y[None] + off[..., 0]).astype(np.float32))
+    sx = jnp.asarray((base_x[None] + off[..., 1]).astype(np.float32))
+    m = jnp.ones((V, H, W, 9), jnp.float32)
+    ref = _xla_samples(x, sy, sx, m)
+    out = pallas_dcn_samples(x, sy, sx, m, stride=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_zero_tangent():
+    np.random.seed(2)
+    V, H, W, C = 1, 16, 16, 128
+    x = jnp.asarray(np.random.randn(V, H, W, C).astype(np.float32))
+    sy = jnp.asarray(np.random.uniform(0, H - 1, (V, H, W, 9)).astype(np.float32))
+    sx = jnp.asarray(np.random.uniform(0, W - 1, (V, H, W, 9)).astype(np.float32))
+    m = jnp.ones((V, H, W, 9), jnp.float32)
+    out, tang = jax.jvp(lambda a: pallas_dcn_samples(a, sy, sx, m,
+                                                     interpret=True),
+                        (x,), (jnp.ones_like(x),))
+    assert float(jnp.abs(tang).max()) == 0.0

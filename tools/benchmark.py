@@ -27,6 +27,8 @@ def main():
     p.add_argument('--warmup', type=int, default=5)
     p.add_argument('--iters', type=int, default=50)
     p.add_argument('--bf16', action='store_true')
+    p.add_argument('--batch', type=int, default=1,
+                   help='scenes per step (vmap); throughput counts all')
     p.add_argument('--cfg-options', nargs='*', default=None)
     args = p.parse_args()
 
@@ -54,18 +56,26 @@ def main():
             if x.dtype == jnp.float32 else x
         variables = jax.tree.map(cast, variables)
         imgs = imgs.astype(jnp.bfloat16)
-    fwd = jax.jit(lambda v, i: model.apply(v, i, cam, shapes))
-    out = fwd(variables, imgs)
+    B = args.batch
+    if B > 1:
+        imgs = jnp.broadcast_to(imgs[None], (B, *imgs.shape))
+        fwd = jax.jit(jax.vmap(lambda i: model.apply(variables, i, cam,
+                                                     shapes)))
+        run = lambda: fwd(imgs)
+    else:
+        fwd = jax.jit(lambda v, i: model.apply(v, i, cam, shapes))
+        run = lambda: fwd(variables, imgs)
+    out = run()
     jax.block_until_ready(out)
     for _ in range(args.warmup):
-        jax.block_until_ready(fwd(variables, imgs))
+        jax.block_until_ready(run())
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fwd(variables, imgs)
+        out = run()
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    print(f'{args.iters / dt:.3f} samples/s '
-          f'({dt / args.iters * 1000:.1f} ms/sample, '
+    print(f'{args.iters * B / dt:.3f} samples/s '
+          f'({dt / args.iters / B * 1000:.1f} ms/sample, batch {B}, '
           f'{"bf16" if args.bf16 else "f32"}, {jax.devices()[0]})')
 
 
