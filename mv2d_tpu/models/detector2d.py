@@ -113,12 +113,24 @@ class TwoStageDetector(nn.Module):
         """Full 2D detection -> padded per-view Proposals (the reference's
         simple_test_w_feat + process_2d_detections,
         wrap_detector.py:73-87 / mv2d.py:60-86)."""
+        import jax as _jax
         V = feats[0].shape[0]
         prop_boxes, _, prop_valid = self.rpn(feats, image_shape, cfg)
         Rp = prop_boxes.shape[1]
-        flat_rois = prop_boxes.reshape(V * Rp, 4)
-        view_idx = jnp.repeat(jnp.arange(V), Rp)
-        cls_logits, deltas = self.roi_forward(feats, flat_rois, view_idx)
+        if _jax.default_backend() == 'tpu':
+            # slab-resident per-view kernel (one slab DMA per view, patches
+            # read straight from VMEM - per-RoI patch DMAs are segment-rate
+            # bound and XLA gathers descriptor-rate bound)
+            from ..ops.pallas_roi_align import pallas_roi_align_views
+            roi_feats = pallas_roi_align_views(
+                list(feats[:4]), prop_boxes, self.fpn_strides[:4],
+                output_size=7, sampling_ratio=2)
+            cls_logits, deltas = self.bbox_head(
+                roi_feats.reshape(V * Rp, *roi_feats.shape[2:]))
+        else:
+            flat_rois = prop_boxes.reshape(V * Rp, 4)
+            view_idx = jnp.repeat(jnp.arange(V), Rp)
+            cls_logits, deltas = self.roi_forward(feats, flat_rois, view_idx)
 
         def decode_one(props, logits, dl, valid):
             boxes, scores = decode_detections(props, logits, dl, image_shape,

@@ -36,7 +36,11 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
             bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
             feat_ref, out_ref, patch_scratch, sems, *,
             nr: int, ph: int, pw: int, O: int, S: int):
-    """One grid step processes `nr` rois.
+    """One grid step processes `nr` rois, DOUBLE-BUFFERED across steps:
+    step i waits on the patches step i-1 prefetched into buffer i%2 while
+    kicking off step i+1's DMAs into the other buffer (per-RoI patch DMAs
+    have ~10us latency; without cross-step overlap the grid serializes on
+    it and the MXU idles).
 
     scalar prefetch (all [R]): row (stacked-buffer row origin), px (8-aligned
     col origin), view, active (int32); y1/x1/bh/bw (sample geometry, cells),
@@ -45,87 +49,115 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
     their minor dim to 128 lanes and blow the 1 MB SMEM budget).
     """
     step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     base = step * nr
 
-    def dma(j):
+    def dma(j, buf, boff):
         # px is constructed 8-aligned on the host (Mosaic tiling constraint
         # on the second-minor dim); multiple_of carries the proof
         return pltpu.make_async_copy(
-            feat_ref.at[view_ref[base + j],
-                        pl.ds(row_ref[base + j], ph),
-                        pl.ds(pl.multiple_of(px_ref[base + j], 8), pw), :],
-            patch_scratch.at[j],
-            sems.at[j])
+            feat_ref.at[view_ref[boff + j],
+                        pl.ds(row_ref[boff + j], ph),
+                        pl.ds(pl.multiple_of(px_ref[boff + j], 8), pw), :],
+            patch_scratch.at[buf, j],
+            sems.at[buf, j])
 
-    for j in range(nr):
-        @pl.when(active_ref[base + j] > 0)
-        def _():
-            dma(j).start()
+    cur = step % 2
+    nxt = (step + 1) % 2
 
-    n_samp = O * S
-    # sample centers in bin units: (q + 0.5)/S == bin(q//S) + (q%S + 0.5)/S
-    samp = (jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
-            .astype(jnp.float32) + 0.5) / S               # [n_samp, 1]
-    cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
-                                      1).astype(jnp.float32)
-    cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
-                                      1).astype(jnp.float32)
+    @pl.when(step == 0)
+    def _():
+        for j in range(nr):
+            @pl.when(active_ref[j] > 0)
+            def _():
+                dma(j, 0, 0).start()
 
-    # per-roi weight blocks built in 2D (scalar broadcasts), then stacked -
-    # Mosaic supports 2D scalar math + stacking, not 1D->3D reshapes
-    ays, axs = [], []
-    for j in range(nr):
-        y1 = y1_ref[base + j]
-        x1 = x1_ref[base + j]
-        bh = bh_ref[base + j]
-        bw = bw_ref[base + j]
-        H = hf_ref[base + j]
-        W = wf_ref[base + j]
-        oy = py_ref[base + j].astype(jnp.float32)
-        ox = px_ref[base + j].astype(jnp.float32)
-        ys = y1 + samp * bh                               # [n_samp, 1]
-        xs = x1 + samp * bw
-        in_y = (ys > -1.0) & (ys < H)
-        in_x = (xs > -1.0) & (xs < W)
-        ys = jnp.clip(ys, 0.0, H - 1) - oy
-        xs = jnp.clip(xs, 0.0, W - 1) - ox
-        ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y)
-        axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x)
-    ay = jnp.stack(ays)                                   # [nr, n_samp, ph]
-    ax = jnp.stack(axs)                                   # [nr, n_samp, pw]
+    @pl.when(step + 1 < nsteps)
+    def _():
+        nbase = (step + 1) * nr
+        for j in range(nr):
+            @pl.when(active_ref[nbase + j] > 0)
+            def _():
+                dma(j, nxt, nbase).start()
 
-    for j in range(nr):
-        @pl.when(active_ref[base + j] > 0)
-        def _():
-            dma(j).wait()
+    # fully-inactive steps (the caller sorts rois so each pass's actives
+    # are one contiguous run) skip DMA waits, weights and dots entirely
+    tot = active_ref[base]
+    for j in range(1, nr):
+        tot = tot + active_ref[base + j]
 
-        # inactive slots hold uninitialized VMEM (NaN bit patterns would
-        # poison the batched dot even under zero weights) - zero them
-        @pl.when(active_ref[base + j] == 0)
-        def _():
-            patch_scratch[j] = jnp.zeros_like(patch_scratch[j])
+    @pl.when(tot == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    # one batched pair of dots over all nr rois (tiny per-roi matmuls are
-    # dispatch-bound; batching amortizes the MXU setup)
-    patches = patch_scratch[:]                            # [nr, ph, pw, C]
-    C = patches.shape[-1]
-    tmp = jax.lax.dot_general(
-        ay.astype(patches.dtype), patches.reshape(nr, ph, pw * C),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [nr, n_samp, pw*C]
-    tmp = tmp.reshape(nr, n_samp, pw, C).astype(patches.dtype)
-    tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, n_samp * C)
-    full = jax.lax.dot_general(
-        ax.astype(patches.dtype), tmp,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [nr, q, p*C]
-    full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
-    full = full.reshape(nr, O, S, O, S, C)
-    out = full.mean(axis=(2, 4))                          # [nr, O, O, C]
-    # inactive slots already yield exact zeros: their patch was zeroed above
-    # and the hat weights are finite, so no explicit mask is needed (a 1D
-    # active vector can't broadcast to 4D under Mosaic anyway)
-    out_ref[:] = out.astype(out_ref.dtype)
+    @pl.when(tot > 0)
+    def _():
+        n_samp = O * S
+        # sample centers in bin units: (q+0.5)/S == bin(q//S)+(q%S+0.5)/S
+        samp = (jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
+                .astype(jnp.float32) + 0.5) / S           # [n_samp, 1]
+        cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
+                                          1).astype(jnp.float32)
+        cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
+                                          1).astype(jnp.float32)
+
+        # per-roi weight blocks built in 2D (scalar broadcasts), then
+        # stacked - Mosaic supports 2D scalar math + stacking, not 1D->3D
+        # reshapes
+        ays, axs = [], []
+        for j in range(nr):
+            y1 = y1_ref[base + j]
+            x1 = x1_ref[base + j]
+            bh = bh_ref[base + j]
+            bw = bw_ref[base + j]
+            H = hf_ref[base + j]
+            W = wf_ref[base + j]
+            oy = py_ref[base + j].astype(jnp.float32)
+            ox = px_ref[base + j].astype(jnp.float32)
+            ys = y1 + samp * bh                           # [n_samp, 1]
+            xs = x1 + samp * bw
+            in_y = (ys > -1.0) & (ys < H)
+            in_x = (xs > -1.0) & (xs < W)
+            ys = jnp.clip(ys, 0.0, H - 1) - oy
+            xs = jnp.clip(xs, 0.0, W - 1) - ox
+            ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y)
+            axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x)
+        ay = jnp.stack(ays)                               # [nr, n_samp, ph]
+        ax = jnp.stack(axs)                               # [nr, n_samp, pw]
+
+        for j in range(nr):
+            @pl.when(active_ref[base + j] > 0)
+            def _():
+                pltpu.make_async_copy(patch_scratch.at[cur, j],
+                                      patch_scratch.at[cur, j],
+                                      sems.at[cur, j]).wait()
+
+            # inactive slots hold uninitialized VMEM (NaN bit patterns
+            # would poison the batched dot even under zero weights)
+            @pl.when(active_ref[base + j] == 0)
+            def _():
+                patch_scratch[cur, j] = jnp.zeros_like(patch_scratch[cur, j])
+
+        # one batched pair of dots over all nr rois (tiny per-roi matmuls
+        # are dispatch-bound; batching amortizes the MXU setup)
+        patches = patch_scratch[cur]                      # [nr, ph, pw, C]
+        C = patches.shape[-1]
+        tmp = jax.lax.dot_general(
+            ay.astype(patches.dtype), patches.reshape(nr, ph, pw * C),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [nr, n_samp, pw*C]
+        tmp = tmp.reshape(nr, n_samp, pw, C).astype(patches.dtype)
+        tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, n_samp * C)
+        full = jax.lax.dot_general(
+            ax.astype(patches.dtype), tmp,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [nr, q, p*C]
+        full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
+        full = full.reshape(nr, O, S, O, S, C)
+        out = full.mean(axis=(2, 4))                      # [nr, O, O, C]
+        # inactive slots already yield exact zeros: their patch was zeroed
+        # above and the hat weights are finite, so no explicit mask needed
+        out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _stacked_align(stacked: jnp.ndarray, scalars: dict, active: jnp.ndarray,
@@ -152,8 +184,8 @@ def _stacked_align(stacked: jnp.ndarray, scalars: dict, active: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((nr, O, O, C), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nr, ph, pw, C), stacked.dtype),
-                        pltpu.SemaphoreType.DMA((nr,))],
+        scratch_shapes=[pltpu.VMEM((2, nr, ph, pw, C), stacked.dtype),
+                        pltpu.SemaphoreType.DMA((2, nr))],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, nr=nr, ph=ph, pw=pw, O=O, S=S),
@@ -212,21 +244,41 @@ def _make_pma(strides, output_size, sampling_ratio, finest_scale,
     return f
 
 
+PASS_SIZES = (16, 32, 64)   # patch rows per pass; cols = rows + 8
+
+
 def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
               finest_scale, rois_per_step, patch, overflow_bucket,
               interpret):
     from .roi_align import multilevel_roi_align
     L = len(feats)
     V, _, _, C = feats[0].shape
+    R = rois.shape[0]
     area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]),
                     0.0, None)
     lvl = jnp.floor(jnp.log2(jnp.sqrt(area) / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
+    sc_all = jnp.asarray([1.0 / s for s in strides], dtype=rois.dtype)
+
+    # ---- route each roi to the tightest patch that holds it, then SORT so
+    # every pass sees one contiguous active run: per-roi patch DMA is the
+    # dominant cost, so bytes moved must track actual roi size, and fully
+    # inactive grid steps (the kernel skips them) must be contiguous
+    cells = jnp.maximum(rois[:, 2] - rois[:, 0], rois[:, 3] - rois[:, 1]) \
+        * sc_all[lvl]
+    pass_id = jnp.zeros((R,), jnp.int32)
+    for ph in PASS_SIZES:
+        pass_id = pass_id + (cells > ph - 3)
+    order = jnp.argsort(pass_id, stable=True)
+    rois_s = rois[order]
+    view_s = view_idx[order]
+    lvl_s = lvl[order]
+    pass_s = pass_id[order]
 
     # ---- stacked buffer: levels along H, padded to a common (8-aligned) W
     Wmax = -(-max(f.shape[2] for f in feats) // 8) * 8
     parts, row_offs, off = [], [], 0
-    Hs_c, Ws_c, Ss_c = [], [], []
+    Hs_c, Ws_c = [], []
     for f, s in zip(feats, strides):
         Hl, Wl = f.shape[1], f.shape[2]
         parts.append(jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - Wl), (0, 0))))
@@ -234,24 +286,21 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
         off += Hl
         Hs_c.append(Hl)
         Ws_c.append(Wl)
-        Ss_c.append(1.0 / s)
     # tail pad so a patch starting at the last level stays in-bounds
-    ph_max = min(patch, off)
-    parts.append(jnp.zeros((V, ph_max, Wmax, C), feats[0].dtype))
+    ph_tail = min(PASS_SIZES[-1], off)
+    parts.append(jnp.zeros((V, ph_tail, Wmax, C), feats[0].dtype))
     stacked = jnp.concatenate(parts, axis=1)
-    row_off_t = jnp.asarray(row_offs)[lvl]
-    H_t = jnp.asarray(Hs_c)[lvl]
-    W_t = jnp.asarray(Ws_c)[lvl]
-    sc = jnp.asarray(Ss_c, dtype=rois.dtype)[lvl]
+    row_off_t = jnp.asarray(row_offs)[lvl_s]
+    H_t = jnp.asarray(Hs_c)[lvl_s]
+    W_t = jnp.asarray(Ws_c)[lvl_s]
+    sc = sc_all[lvl_s]
 
-    # ---- per-roi geometry at the routed level
+    # ---- per-roi geometry at the routed level (sorted order)
     O = output_size
-    x1 = rois[:, 0] * sc - 0.5
-    y1 = rois[:, 1] * sc - 0.5
-    bw = (rois[:, 2] - rois[:, 0]) * sc / O
-    bh = (rois[:, 3] - rois[:, 1]) * sc / O
-    w_cells = (rois[:, 2] - rois[:, 0]) * sc
-    h_cells = (rois[:, 3] - rois[:, 1]) * sc
+    x1 = rois_s[:, 0] * sc - 0.5
+    y1 = rois_s[:, 1] * sc - 0.5
+    bw = (rois_s[:, 2] - rois_s[:, 0]) * sc / O
+    bh = (rois_s[:, 3] - rois_s[:, 1]) * sc / O
 
     def scalars_for(ph, pw):
         py = jnp.clip(jnp.floor(y1).astype(jnp.int32), 0,
@@ -260,31 +309,310 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
         px = jnp.clip(px, 0, max(Wmax - pw, 0))
         return dict(row=(row_off_t + py).astype(jnp.int32),
                     px=px.astype(jnp.int32),
-                    view=view_idx.astype(jnp.int32),
+                    view=view_s.astype(jnp.int32),
                     y1=y1.astype(jnp.float32), x1=x1.astype(jnp.float32),
                     bh=bh.astype(jnp.float32), bw=bw.astype(jnp.float32),
                     hf=H_t.astype(jnp.float32), wf=W_t.astype(jnp.float32),
                     py=py.astype(jnp.int32))
 
-    small = patch // 2
-    fits_small = (w_cells <= small - 3) & (h_cells <= small - 3)
-    fits_big = (w_cells <= patch - 3) & (h_cells <= patch - 3)
-
-    out = _stacked_align(stacked, scalars_for(min(small, off), small + 8),
-                         fits_small, O, sampling_ratio, rois_per_step,
-                         min(small, off), small + 8, interpret)
-    out = out + _stacked_align(stacked, scalars_for(ph_max, patch + 8),
-                               fits_big & ~fits_small, O, sampling_ratio,
-                               rois_per_step, ph_max, patch + 8, interpret)
+    out_s = None
+    for p, ph in enumerate(PASS_SIZES):
+        ph_eff = min(ph, off)
+        pw = ph + 8
+        o = _stacked_align(stacked, scalars_for(ph_eff, pw), pass_s == p,
+                           O, sampling_ratio, rois_per_step, ph_eff, pw,
+                           interpret)
+        out_s = o if out_s is None else out_s + o
+    inv = jnp.argsort(order)
+    out = out_s[inv]
 
     if overflow_bucket > 0:
-        R = rois.shape[0]
+        # extreme-aspect rois (> 61 cells at their routed level) sit at the
+        # END of the sorted order - exact XLA gather for up to K of them
         K = min(overflow_bucket, R)
-        over = ~fits_big
-        sel = jnp.argsort(~over, stable=True)[:K]
-        o_small = multilevel_roi_align(feats, rois[sel], view_idx[sel],
-                                       strides, output_size, sampling_ratio,
-                                       finest_scale)
-        o_small = o_small * over[sel][:, None, None, None]
+        sel = order[R - K:]
+        ov = pass_s[R - K:] == len(PASS_SIZES)
+        # block_layout=False: the 2x2-parity layout costs a 4x copy of every
+        # FPN level (~1.7 GB at full size) - never worth it for K<=256 rois
+        o_small = multilevel_roi_align(feats, rois_s[R - K:],
+                                       view_s[R - K:], strides, output_size,
+                                       sampling_ratio, finest_scale,
+                                       block_layout=False)
+        o_small = o_small * ov[:, None, None, None]
         out = out.at[sel].add(o_small.astype(out.dtype))
+    return out
+
+
+# --------------------------------------------------------------------------
+# View-uniform slab-resident variant (the R-CNN stage: [V, P] proposals).
+#
+# Per-RoI patch DMAs are DMA-row-segment-rate bound (~5M strided segments/s:
+# a [32, 40, C] patch costs 32 segments, so 12k RoIs serialize into tens of
+# ms regardless of bytes).  Here the whole per-view level-stacked slab
+# (~56 MB bf16 at 1408x512/C=256) is DMA'd into VMEM ONCE per view - a few
+# huge contiguous segments - and every patch becomes a dynamic-offset VMEM
+# read (H is the untiled major dim: any row offset; the col origin is
+# 8-aligned).  RoIs are bucket-compacted per view so each grid step handles
+# `nr` same-pass RoIs (pass = patch size class); steps of empty/overflow
+# buckets write zeros and skip all reads.
+# --------------------------------------------------------------------------
+
+
+def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
+                 bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
+                 stacked_ref, out_ref, slab, sem, *,
+                 nr: int, spv: int, sizes, O: int, S: int):
+    v = pl.program_id(0)
+    i = pl.program_id(1)
+    base = (v * spv + i) * nr
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(stacked_ref.at[v], slab, sem)
+        cp.start()
+        cp.wait()
+
+    sp = step_pass_ref[v * spv + i]
+    # sample-mean FOLDED into the hat weights (linear, so exact): By[oy, p]
+    # = (1/S) sum_s hat(ys[oy*S+s] - p) -> two [nr, O, *] dot operands and
+    # NO transposes or 6D mean (Mosaic transposes of [nr, ns, pw, C] cost
+    # more than the dots themselves)
+    qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0).astype(jnp.float32)
+
+    @pl.when(sp >= len(sizes))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    for p, ph in enumerate(sizes):
+        pw = ph + 8
+
+        @pl.when(sp == p)
+        def _(ph=ph, pw=pw):
+            cell_y = jax.lax.broadcasted_iota(jnp.int32, (O, ph),
+                                              1).astype(jnp.float32)
+            cell_x = jax.lax.broadcasted_iota(jnp.int32, (O, pw),
+                                              1).astype(jnp.float32)
+            bys, bxs, pats = [], [], []
+            for j in range(nr):
+                act = (active_ref[base + j] > 0).astype(jnp.float32)
+                y1 = y1_ref[base + j]
+                x1 = x1_ref[base + j]
+                bh = bh_ref[base + j]
+                bw = bw_ref[base + j]
+                H = hf_ref[base + j]
+                W = wf_ref[base + j]
+                oy = py_ref[base + j].astype(jnp.float32)
+                ox = px_ref[base + j].astype(jnp.float32)
+                by = jnp.zeros((O, ph), jnp.float32)
+                bx = jnp.zeros((O, pw), jnp.float32)
+                for s in range(S):
+                    frac = (s + 0.5) / S
+                    ys = y1 + (qio + frac) * bh           # [O, 1]
+                    xs = x1 + (qio + frac) * bw
+                    in_y = (ys > -1.0) & (ys < H)
+                    in_x = (xs > -1.0) & (xs < W)
+                    ys = jnp.clip(ys, 0.0, H - 1) - oy
+                    xs = jnp.clip(xs, 0.0, W - 1) - ox
+                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
+                                          0.0) * in_y
+                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
+                                          0.0) * in_x
+                # act zeroes inactive slots (their slab reads are junk)
+                bys.append(by * (act / S))
+                bxs.append(bx * (1.0 / S))
+                pats.append(slab[pl.ds(row_ref[base + j], ph),
+                                 pl.ds(pl.multiple_of(px_ref[base + j], 8),
+                                       pw), :])
+            By = jnp.stack(bys)                           # [nr, O, ph]
+            Bx = jnp.stack(bxs)                           # [nr, O, pw]
+            patches = jnp.stack(pats)                     # [nr, ph, pw, C]
+            dt = patches.dtype
+            C = patches.shape[-1]
+            # merged-minor batched dots (contraction over the rhs 3D
+            # major dim lowers to native MXU passes; the 3Dx4D
+            # contract-dim-2 form lowers ~2x slower on Mosaic)
+            tmp = jax.lax.dot_general(
+                By.astype(dt), patches.reshape(nr, ph, pw * C),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [nr, Oy, pw*C]
+            tmp = tmp.reshape(nr, O, pw, C).astype(dt)
+            tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, O * C)
+            full = jax.lax.dot_general(
+                Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [nr, Ox, Oy*C]
+            full = full.reshape(nr, O, O, C).transpose(0, 2, 1, 3)
+            out_ref[0] = full.astype(out_ref.dtype)
+
+
+def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                           strides: Sequence[int], output_size: int = 7,
+                           sampling_ratio: int = 2,
+                           finest_scale: float = 56.0,
+                           rois_per_step: int = 8,
+                           overflow_bucket: int = 256,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """RoIAlign for per-view proposal tensors: rois [V, P, 4] -> output
+    [V, P, O, O, C].  Inference only (zero tangents)."""
+    import jax as _jax
+    if interpret is None:
+        interpret = _jax.default_backend() != 'tpu'
+    sum_h = sum(f.shape[1] for f in feats)
+    if ((not interpret and feats[0].shape[-1] % 128 != 0)
+            or sum_h < PASS_SIZES[-1]):
+        # C must fill whole 128-lane registers (Mosaic reshape rule) and the
+        # slab must hold the largest patch; small configs take XLA gather
+        from .roi_align import multilevel_roi_align
+        V, P = rois.shape[:2]
+        vi = jnp.repeat(jnp.arange(V), P)
+        out = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi,
+                                   strides, output_size, sampling_ratio,
+                                   finest_scale)
+        return out.reshape(V, P, *out.shape[1:])
+    fn = _make_prv(tuple(strides), output_size, sampling_ratio, finest_scale,
+                   rois_per_step, overflow_bucket, interpret)
+    return fn(tuple(feats), rois)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_prv(strides, output_size, sampling_ratio, finest_scale,
+              rois_per_step, overflow_bucket, interpret):
+    @jax.custom_jvp
+    def f(feats, rois):
+        return _prv_impl(feats, rois, strides, output_size, sampling_ratio,
+                         finest_scale, rois_per_step, overflow_bucket,
+                         interpret)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = f(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f
+
+
+def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
+              finest_scale, rois_per_step, overflow_bucket, interpret):
+    from .roi_align import multilevel_roi_align
+    L = len(feats)
+    V, _, _, C = feats[0].shape
+    P = rois.shape[1]
+    nr = rois_per_step
+    O, S = output_size, sampling_ratio
+    npass = len(PASS_SIZES)
+    flat = rois.reshape(V * P, 4)
+
+    area = jnp.clip((flat[:, 2] - flat[:, 0]) * (flat[:, 3] - flat[:, 1]),
+                    0.0, None)
+    lvl = jnp.clip(jnp.floor(jnp.log2(jnp.sqrt(area) / finest_scale + 1e-6)),
+                   0, L - 1).astype(jnp.int32)
+    sc_all = jnp.asarray([1.0 / s for s in strides], dtype=flat.dtype)
+    sc = sc_all[lvl]
+    cells = jnp.maximum(flat[:, 2] - flat[:, 0],
+                        flat[:, 3] - flat[:, 1]) * sc
+    pass_id = jnp.zeros((V * P,), jnp.int32)
+    for ph in PASS_SIZES:
+        pass_id = pass_id + (cells > ph - 3)
+
+    # ---- per-view bucket compaction: pass-p rois of view v land in a
+    # contiguous nr-aligned run, so each grid step is single-pass
+    pid_v = pass_id.reshape(V, P)
+    rank = jnp.argsort(jnp.argsort(pid_v, axis=1, stable=True), axis=1)
+    # rank within own pass = rank - (number of rois in earlier passes)
+    counts = jnp.stack([(pid_v == p).sum(1) for p in range(npass + 1)],
+                       axis=1)                             # [V, npass+1]
+    below = jnp.concatenate([jnp.zeros((V, 1), counts.dtype),
+                             jnp.cumsum(counts, axis=1)[:, :-1]], axis=1)
+    run_off = jnp.concatenate(
+        [jnp.zeros((V, 1), counts.dtype),
+         jnp.cumsum(-(-counts // nr) * nr, axis=1)[:, :-1]], axis=1)
+    pos = (jnp.take_along_axis(run_off, pid_v, 1)
+           + rank - jnp.take_along_axis(below, pid_v, 1))  # [V, P]
+    Pp = -(-(P + npass * nr) // nr) * nr                   # padded slots
+    spv = Pp // nr
+
+    # ---- stacked per-view slab (levels along H; no tail pad: a patch that
+    # would overrun the slab slides its origin UP into earlier levels'
+    # rows - the hat weights for cells outside the routed level are
+    # exactly zero, so the extra rows never contribute)
+    Wmax = -(-max(f.shape[2] for f in feats) // 8) * 8
+    parts, row_offs, off = [], [], 0
+    Hs_c, Ws_c = [], []
+    for f, s in zip(feats, strides):
+        Hl, Wl = f.shape[1], f.shape[2]
+        parts.append(jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - Wl), (0, 0))))
+        row_offs.append(off)
+        off += Hl
+        Hs_c.append(Hl)
+        Ws_c.append(Wl)
+    stacked = jnp.concatenate(parts, axis=1)
+    Hslab = stacked.shape[1]
+
+    # ---- per-roi geometry at the routed level (pass-dependent clipping)
+    row_off_t = jnp.asarray(row_offs)[lvl]
+    H_t = jnp.asarray(Hs_c)[lvl]
+    W_t = jnp.asarray(Ws_c)[lvl]
+    x1 = flat[:, 0] * sc - 0.5
+    y1 = flat[:, 1] * sc - 0.5
+    bw = (flat[:, 2] - flat[:, 0]) * sc / O
+    bh = (flat[:, 3] - flat[:, 1]) * sc / O
+    ph_of = jnp.asarray(list(PASS_SIZES) + [PASS_SIZES[-1]])[pass_id]
+    # level-relative patch origin; may go negative (slide into earlier
+    # levels) so the read [row, row+ph) always stays inside the slab
+    py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
+                  jnp.minimum(-row_off_t, 0), Hslab - row_off_t - ph_of)
+    px = jnp.floor(x1).astype(jnp.int32) // 8 * 8
+    px = jnp.clip(px, 0, jnp.maximum(Wmax - (ph_of + 8), 0))
+    row = row_off_t + py
+
+    # ---- scatter per-roi scalars into padded slots
+    def scat(x, fill=0):
+        buf = jnp.full((V, Pp), fill, x.dtype)
+        return buf.at[jnp.arange(V)[:, None], pos].set(
+            x.reshape(V, P)).reshape(-1)
+
+    args = [scat(row), scat(px),
+            scat((pass_id < npass).astype(jnp.int32)),
+            scat(y1.astype(jnp.float32)), scat(x1.astype(jnp.float32)),
+            scat(bh.astype(jnp.float32)), scat(bw.astype(jnp.float32)),
+            scat(H_t.astype(jnp.float32)), scat(W_t.astype(jnp.float32)),
+            scat(py)]
+    spass = jnp.full((V, Pp), npass + 1, jnp.int32)
+    spass = spass.at[jnp.arange(V)[:, None], pos].set(pid_v)
+    step_pass = spass.reshape(V, spv, nr).min(axis=2).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(V, spv),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, nr, O, O, C),
+                               lambda v, i, *_: (v, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), stacked.dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out_s = pl.pallas_call(
+        functools.partial(_kernel_slab, nr=nr, spv=spv, sizes=PASS_SIZES,
+                          O=O, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(step_pass, *args, stacked)
+    out_s = out_s.reshape(V, Pp, O, O, C)
+    out = jnp.take_along_axis(out_s, pos[:, :, None, None, None], 1)
+
+    if overflow_bucket > 0:
+        R = V * P
+        K = min(overflow_bucket, R)
+        over = pass_id == npass
+        sel = jnp.argsort(~over, stable=True)[:K]
+        vi = (sel // P).astype(jnp.int32)
+        # block_layout=False: the 2x2-parity layout copies every FPN level
+        # 4x (~1.7 GB at full size) - never worth it for K<=256 rois
+        o_small = multilevel_roi_align(feats, flat[sel], vi, strides, O, S,
+                                       finest_scale, block_layout=False)
+        o_small = o_small * over[sel][:, None, None, None]
+        out = out.reshape(R, O, O, C).at[sel].add(
+            o_small.astype(out.dtype)).reshape(V, P, O, O, C)
     return out

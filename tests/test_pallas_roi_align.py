@@ -37,3 +37,44 @@ def test_pallas_align_edge_rois(rng):
                                       rois_per_step=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_pass_routing_and_overflow(rng):
+    """Each size class (3 patch passes + extreme-aspect overflow) is exact."""
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 512 // s, 1408 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    rois = jnp.asarray([
+        [100., 100., 130., 124.],     # tiny -> 16-row pass
+        [100., 100., 420., 300.],     # medium -> 32-row pass
+        [10., 10., 1398., 500.],      # huge -> 64-row pass
+        [0., 200., 1400., 240.],      # extreme aspect -> overflow fallback
+        [600., 0., 640., 512.],       # tall sliver -> overflow fallback
+    ], jnp.float32)
+    views = jnp.asarray([0, 1, 0, 1, 0], jnp.int32)
+    want = multilevel_roi_align(feats, rois, views, strides)
+    got = pallas_multilevel_roi_align(feats, rois, views, strides,
+                                      rois_per_step=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_matches_xla(rng):
+    """Slab-resident per-view variant (the R-CNN stage shape)."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(3, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    V, P = 3, 24
+    xy = rng.uniform(0, 250, (V, P, 2))
+    wh = rng.uniform(4, 380, (V, P, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    # include extreme-aspect overflow rois
+    rois = rois.at[0, 0].set(jnp.asarray([0., 100., 380., 112.]))
+    rois = rois.at[2, 5].set(jnp.asarray([200., 0., 212., 250.]))
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, strides)
+    got = pallas_roi_align_views(feats, rois, strides, rois_per_step=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)
