@@ -169,9 +169,12 @@ class MV2D(nn.Module):
 
     # ------------------------------------------------------------ features
 
-    def extract_feats(self, imgs: jnp.ndarray):
-        """imgs: [V, H, W, 3] -> (fpn p2..p6, neck p4)."""
-        fpn_feats = self.base_detector.extract_feat(imgs)
+    def extract_feats(self, imgs: jnp.ndarray, fast_inference: bool = False):
+        """imgs: [V, H, W, 3] -> (fpn p2..p6, neck p4).
+
+        fast_inference routes DCN blocks through the no-grad Pallas band
+        kernel (inference / no-grad feature paths only)."""
+        fpn_feats = self.base_detector.extract_feat(imgs, fast_inference)
         p4 = self.neck(fpn_feats)[0]
         return fpn_feats, p4
 
@@ -347,7 +350,7 @@ class MV2D(nn.Module):
         Returns (boxes [max_per_scene, 9] bottom-center, scores, labels,
         valid)."""
         c = self.cfg
-        fpn_feats, p4 = self.extract_feats(imgs)
+        fpn_feats, p4 = self.extract_feats(imgs, fast_inference=True)
         proposals = self.base_detector.detect(fpn_feats, c.image_size,
                                               c.proposal_test)
         pos = self.pe(p4, cam.img2lidar, img_shapes, c.image_size)

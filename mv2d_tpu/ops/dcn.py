@@ -77,6 +77,16 @@ class ModulatedDeformConv(nn.Module):
         sx = base_x[None] + off[..., 1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (K * K, C, self.features))
+        # Band-kernel routing (v5e full-block measurements, 12 views,
+        # incl. offset conv + weight contraction):
+        #   32x88x256 s1:  gather  9.6 ms -> band 7.9 ms   (5 blocks)
+        #   16x44x512 s1:  gather  5.5 ms -> band 4.3 ms   (2 blocks)
+        #   64x176x256 s2: gather 18.9 ms -> band 8.9 ms   (1 block)
+        #   32x88x512 s2:  gather  8.6 ms -> band 4.5 ms   (1 block)
+        # The kernel builds the bilinear stencil as a [J, Q] outer-product
+        # weight panel and samples with ONE MXU dot per segment (see
+        # pallas_dcn.py; the earlier y-matmul + VPU x-reduce variant lost
+        # to the gathers - its [Q, ww*C] f32 intermediate dominated).
         if (use_pallas and K == 3 and C % 128 == 0
                 and jax.default_backend() == 'tpu'):
             # band kernel: no gradient (zero tangents); inference only

@@ -8,12 +8,12 @@ dense band algebra:
   * one DMA per (view, row-block) brings a full-width input band
     [BH, W, C] into VMEM (large sequential rows, near-peak HBM),
   * per 8-column segment, the 9 taps x 64 pixels = 576 bilinear samples
-    factor into separable 1D hat weights; the y interpolation is ONE MXU
-    matmul  T = Ay [576, BH] @ band [BH, WW*C]  and the x interpolation a
-    short VPU reduction over the WW=24-cell window,
-  * modulation masks fold into the x hats; the kernel emits raw modulated
-    samples [V, Ho, Wo, 9C] and the tap-weight contraction runs as one
-    big XLA matmul (perfect MXU shapes) outside,
+    are ONE MXU matmul: W2D [576, BH*WW] @ window [BH*WW, C], where row q
+    of W2D is the 4-nonzero bilinear stencil hat_y*hat_x*mask of sample q
+    over the flattened window (built on the VPU from broadcast hats -
+    no per-sample intermediate ever materializes),
+  * the kernel emits raw modulated samples [V, Ho, Wo, 9C] and the
+    tap-weight contraction runs as one big XLA matmul outside,
   * samples whose learned offset leaves the band window (|dy| or |dx|
     beyond ~7 px; rare in trained models - offsets are zero-init) are
     computed exactly by the XLA gather path for up to `overflow_bucket`
@@ -38,73 +38,91 @@ RB = 8    # output rows per grid step
 SW = 8    # output cols per segment
 
 
-def _kernel(x_ref, sy_ref, sx_ref, m_ref, out_ref, band, sem, *,
-            nsg: int, nb: int, bh: int, ww: int, stride: int, h_in: int,
+def _kernel(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, out_ref, band,
+            sem, *, nb: int, bh: int, ww: int, stride: int, h_in: int,
             wp_in: int):
-    """Grid (V*NB,).  x_ref: [V, Hp, Wp, C] (ANY); sy/sx/m: [1, NSg, 64, 9]
-    VMEM blocks (band/window-relative clipped coords, folded masks);
-    out_ref: [1, 9, NSg*64, C]; band: [BH, Wp, C] scratch."""
+    """Grid (V*NB, NSg) - segments are a grid dim (an unrolled in-kernel
+    segment loop made Mosaic compile time quadratic in W).
+
+    Per segment, the 9 taps x 64 pixels = 576 bilinear samples are ONE MXU
+    dot: row q of the weight matrix W2D[q, j] = hat_y(ys_q - cy_j) *
+    hat_x(xs_q - cx_j) * m_q is the (rank-1, 4-nonzero) bilinear stencil of
+    sample q over the flattened [bh*ww] window, and
+    samples = W2D @ window.reshape(bh*ww, C).  (The earlier two-stage
+    y-matmul + VPU x-reduction materialized a [576, ww*C] f32 intermediate
+    whose VMEM traffic dominated: 17 ms vs the gather path's 10 ms.)
+
+    cy/cx_ref: [J, 1] window cell coordinates (host consts, j = yy*ww+xx);
+    x_ref: [V, Hp, Wp, C] (ANY); sy/sx/m: [1, 1, 1, Q=576] VMEM blocks
+    (band/window-relative clipped coords, folded masks) in q = (tap, pixel)
+    major order; out_ref: [1, 9, RB*SW, C]; band: [BH, Wp, C] scratch
+    persists across the NSg steps of one row block (DMA'd at s == 0)."""
     i = pl.program_id(0)
+    s = pl.program_id(1)
     C = band.shape[-1]
     v = i // nb
     rb = i % nb
     y0 = jnp.clip(rb * RB * stride - 8, 0, max(h_in - bh, 0))
 
-    pltpu.make_async_copy(
-        x_ref.at[v, pl.ds(y0, bh)], band, sem).start()
+    @pl.when(s == 0)
+    def _load_band():
+        cp = pltpu.make_async_copy(x_ref.at[v, pl.ds(y0, bh)], band, sem)
+        cp.start()
+        cp.wait()
 
-    cell_y = jax.lax.broadcasted_iota(jnp.int32, (RB * SW, bh),
-                                      1).astype(jnp.float32)
-    cell_x = jax.lax.broadcasted_iota(jnp.int32, (RB * SW, ww),
-                                      1).astype(jnp.float32)
+    # all quantities are multiples of 8 (SW=8, ww=8*stride+16, Wp%8==0) but
+    # Mosaic cannot prove it through the clip; assert alignment explicitly
+    xw0 = pl.multiple_of(
+        jnp.clip(s * SW * stride - 8, 0, max(wp_in - ww, 0)), 8)
 
-    pltpu.make_async_copy(x_ref.at[v, pl.ds(y0, bh)], band, sem).wait()
+    ys = sy_ref[0, 0]                                  # [1, Q] row vector
+    xs = sx_ref[0, 0]
+    mm = m_ref[0, 0]
+    # build TRANSPOSED [J, Q]: cell coords go on sublanes ([J, 1] consts),
+    # sample coords stay a natural [1, Q] row - no relayouts either way
+    hy = jnp.maximum(1.0 - jnp.abs(cy_ref[:, :1] - ys), 0.0)   # [J, Q]
+    hx = jnp.maximum(1.0 - jnp.abs(cx_ref[:, :1] - xs), 0.0)
+    w2dt = hy * hx * mm                                # [J, Q]
 
-    for s in range(nsg):
-        xw0 = min(max(s * SW * stride - 8, 0), max(wp_in - ww, 0))
-        ays, axs = [], []
-        for k in range(9):
-            ys = sy_ref[0, s, :, k:k + 1]                  # [64, 1]
-            xs = sx_ref[0, s, :, k:k + 1]
-            mk = m_ref[0, s, :, k:k + 1]
-            ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0))
-            axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * mk)
-        ay = jnp.stack(ays).reshape(9 * RB * SW, bh)
-        ax = jnp.stack(axs).reshape(9 * RB * SW, ww)
-
-        seg = band[:, xw0:xw0 + ww, :].reshape(bh, ww * C)
-        t = jax.lax.dot_general(
-            ay.astype(band.dtype), seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [576, WW*C]
-        t3 = t.reshape(9 * RB * SW, ww, C)
-        smp = (ax[:, :, None] * t3).sum(axis=1)            # [576, C]
-        out_ref[0, :, s * RB * SW:(s + 1) * RB * SW, :] = (
-            smp.reshape(9, RB * SW, C).astype(out_ref.dtype))
+    win = band[:, pl.ds(xw0, ww), :].reshape(bh * ww, C)
+    smp = jax.lax.dot_general(
+        w2dt.astype(band.dtype), win, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [Q, C]
+    out_ref[0, :, :, :] = smp.reshape(9, RB * SW, C).astype(out_ref.dtype)
 
 
 def _run_kernel(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
                 m: jnp.ndarray, stride: int, bh: int, ww: int,
                 interpret: bool) -> jnp.ndarray:
-    """x: [V, Hp, Wp, C]; sy/sx/m: [V*NB, NSg, 64, 9] -> [V*NB, 9, NSg*64, C]."""
+    """x: [V, Hp, Wp, C]; sy/sx/m: [V*NB, NSg, 1, Q=9*64] (q-major) ->
+    [V*NB, 9, NSg*64, C]."""
     V, Hp, Wp, C = x.shape
     G, nsg = sy.shape[0], sy.shape[1]
+    Q = 9 * RB * SW
+    J = bh * ww
+    jj = np.arange(J)
+    cy = jnp.asarray((jj // ww)[:, None], jnp.float32)   # [J, 1]
+    cx = jnp.asarray((jj % ww)[:, None], jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_kernel, nsg=nsg, nb=G // V, bh=bh, ww=ww,
+        functools.partial(_kernel, nb=G // V, bh=bh, ww=ww,
                           stride=stride, h_in=Hp, wp_in=Wp),
-        grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, nsg, RB * SW, 9), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((1, nsg, RB * SW, 9), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((1, nsg, RB * SW, 9), lambda i: (i, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, 9, nsg * RB * SW, C),
-                               lambda i: (i, 0, 0, 0)),
+        grid=(G, nsg),
+        in_specs=[pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0))],
+        out_specs=pl.BlockSpec((1, 9, RB * SW, C),
+                               lambda i, s: (i, 0, s, 0)),
         out_shape=jax.ShapeDtypeStruct((G, 9, nsg * RB * SW, C), x.dtype),
         scratch_shapes=[pltpu.VMEM((bh, Wp, C), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(x, sy, sx, m)
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(cy, cx, x, sy, sx, m)
     return out
 
 
@@ -169,10 +187,11 @@ def _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
     pix_valid = (rows[:, None] < Ho) & (cols[None, :] < Wo)
     meff = mp * (inside & inband & pix_valid[None, :, :, None])
 
-    def pack(a):   # [V, Hop, Wop, 9] -> [V*NB, NSg, RB*SW, 9]
+    def pack(a):   # [V, Hop, Wop, 9] -> [V*NB, NSg, 1, 9*RB*SW] (q-major:
+        # q = tap*64 + row*SW + col, matching the kernel's output layout)
         a = a.reshape(V, nb, RB, nsg, SW, 9)
-        a = a.transpose(0, 1, 3, 2, 4, 5)
-        return a.reshape(V * nb, nsg, RB * SW, 9)
+        a = a.transpose(0, 1, 3, 5, 2, 4)
+        return a.reshape(V * nb, nsg, 1, 9 * RB * SW)
 
     samples = _run_kernel(xp, pack(ys_rel.astype(jnp.float32)),
                           pack(xs_rel.astype(jnp.float32)),
@@ -189,7 +208,14 @@ def _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
         P = V * Ho * Wo * 9
         K = min(overflow_bucket, P)
         flat_over = over.reshape(P)
-        sel = jnp.argsort(~flat_over, stable=True)[:K]
+        # stable compaction of the (rare) overflow indices without a sort:
+        # position by cumsum, scatter into a K-slot buffer (drops past K).
+        # Unused slots keep the P sentinel so the final scatter-add drops
+        # them (a 0 sentinel would duplicate-add sample 0).
+        pos = jnp.cumsum(flat_over) - 1
+        sel = jnp.full((K,), P, jnp.int32).at[
+            jnp.where(flat_over, pos, K)].set(
+            jnp.arange(P, dtype=jnp.int32), mode='drop')
         vi = (sel // (Ho * Wo * 9)).astype(jnp.int32)
         from .roi_align import _bilinear_gather
         vals = _bilinear_gather(
@@ -198,6 +224,6 @@ def _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
         vals = vals * (mp[:, :Ho, :Wo].reshape(P)[sel]
                        * flat_over[sel])[:, None]
         flat = samples.reshape(P, C)
-        flat = flat.at[sel].add(vals.astype(flat.dtype))
+        flat = flat.at[sel].add(vals.astype(flat.dtype), mode='drop')
         samples = flat.reshape(V, Ho, Wo, 9, C)
     return samples.reshape(V, Ho, Wo, 9 * C)

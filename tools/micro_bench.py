@@ -115,6 +115,57 @@ def main():
             fn = jax.jit(lambda p, y: model.apply(p, y))
             timed(fn, params, x, name=f'ResNet50 12x512x1408 dcn={dcn}')
 
+    if which in ('resnet_stages',):
+        # where does the plain-R50 time go?  Time the stem and each stage
+        # as separate jitted programs at their true input shapes.
+        from flax import linen as fnn
+        from mv2d_tpu.nn.layers import FrozenBatchNorm
+        from mv2d_tpu.nn.resnet import Bottleneck
+
+        def bench_module(mod, shape, name):
+            y = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+            struct = jax.eval_shape(mod.init, jax.random.PRNGKey(0), y)
+            params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16)
+                if np.issubdtype(s.dtype, np.floating)
+                else jnp.zeros(s.shape, s.dtype), struct)
+            fn = jax.jit(lambda p, z: mod.apply(p, z))
+            return timed(fn, params, y, name=name)
+
+        class Stem(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                x = fnn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                             use_bias=False)(x)
+                x = FrozenBatchNorm(64)(x)
+                x = fnn.relu(x)
+                return fnn.max_pool(x, (3, 3), strides=(2, 2),
+                                    padding=[(1, 1)] * 2)
+
+        class Stage(fnn.Module):
+            planes: int
+            n: int
+            stride: int
+
+            @fnn.compact
+            def __call__(self, x):
+                for i in range(self.n):
+                    x = Bottleneck(self.planes,
+                                   stride=self.stride if i == 0 else 1,
+                                   downsample=(i == 0))(x)
+                return x
+
+        bench_module(Stem(), (12, 512, 1408, 3), 'stem 7x7/2 + maxpool')
+        bench_module(Stage(64, 3, 1), (12, 128, 352, 64), 'stage1 3 blocks')
+        bench_module(Stage(128, 4, 2), (12, 128, 352, 256), 'stage2 4 blk')
+        bench_module(Stage(256, 6, 2), (12, 64, 176, 512), 'stage3 6 blk')
+        bench_module(Stage(512, 3, 2), (12, 32, 88, 1024), 'stage4 3 blk')
+        # MXU upper bound: the single heaviest conv class as one big matmul
+        a = jnp.zeros((12 * 64 * 176, 1152), jnp.bfloat16)
+        b = jnp.zeros((1152, 128), jnp.bfloat16)
+        timed(jax.jit(lambda u, v: u @ v), a, b,
+              name='matmul ~stage2 3x3 eq')
+
 
 if __name__ == '__main__':
     main()
