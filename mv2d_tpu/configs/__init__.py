@@ -28,6 +28,9 @@ def mv2d_t_r50(**overrides) -> MV2DConfig:
             'topk_matched:20:0.0:0.0', expand_stride=2.0),
         proposal_train=PROPOSAL_CFG, proposal_test=PROPOSAL_CFG,
         use_denoise=True, denoise_noise_scale=1.25, denoise_split=0.6,
+        # Pallas masked flash attention for eval cross-attn (v5e: roi head
+        # 44.3 -> 38.3 ms; training/dropout paths keep the XLA attention)
+        use_flash_attention=True,
     )
     return cfg._replace(**overrides)
 

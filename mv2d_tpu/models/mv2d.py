@@ -127,6 +127,11 @@ class ForwardOutputs:
     dn_info: Optional[DNInfo]
     query_valid: jnp.ndarray      # [R]
     proposals: Proposals
+    # bucket-overflow accounting (scalars; see tools/calibrate_buckets.py):
+    # key_active = pixels in the attention-key union, key_overflow = active
+    # pixels dropped because they exceeded cfg.k_max (should be 0; resize
+    # k_max if not), num_queries = valid proposal queries this scene
+    diagnostics: Optional[dict] = None
 
 
 DUMMY_BOX = (50.0, 50.0, 100.0, 100.0)
@@ -276,6 +281,8 @@ class MV2D(nn.Module):
             A = adjacency_from_correlation(corr_ids, corr_mask, R)
             M = query_pixel_masks(A, in_roi)                     # [R, V*hw]
             union = M.any(axis=0)
+            n_active = union.sum().astype(jnp.int32)
+            key_overflow = jnp.maximum(n_active - c.k_max, 0)
             key_idx, key_active = gather_active_keys(union, c.k_max)
             key_ok = key_active & ~pad_mask.reshape(-1)[key_idx]
             keys = p4.reshape(V * h * w, C)[key_idx]
@@ -327,10 +334,17 @@ class MV2D(nn.Module):
         else:
             dn_cls = dn_box = None
 
+        if c.key_mode == 'pixel':
+            diagnostics = {'key_active': n_active,
+                           'key_overflow': key_overflow,
+                           'num_queries': flat_valid.sum().astype(jnp.int32)}
+        else:
+            diagnostics = {'num_queries': flat_valid.sum().astype(jnp.int32)}
         return ForwardOutputs(
             all_cls_scores=all_cls, all_bbox_preds=all_box,
             dn_cls_scores=dn_cls, dn_bbox_preds=dn_box, dn_info=dn_info,
-            query_valid=flat_valid, proposals=proposals)
+            query_valid=flat_valid, proposals=proposals,
+            diagnostics=diagnostics)
 
     # ----------------------------------------------------------- inference
 

@@ -141,6 +141,11 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
     metrics['rpn_num_pos'] = rpn['rpn_num_pos'].sum()
     metrics['rcnn_num_pos'] = rcnn['rcnn_num_pos']
     metrics['num_queries'] = out.query_valid.sum()
+    if out.diagnostics and 'key_overflow' in out.diagnostics:
+        # silent-drop accounting: >0 means cfg.k_max is undersized for this
+        # data (run tools/calibrate_buckets.py and raise it)
+        metrics['key_active'] = out.diagnostics['key_active']
+        metrics['key_overflow'] = out.diagnostics['key_overflow']
     return total, metrics
 
 

@@ -63,3 +63,16 @@ def test_train_and_test_cli(tmp_path):
     assert 'mAP' in r.stdout
     sub = json.load(open(tmp_path / 'res.json'))
     assert 'results' in sub and len(sub['results']) == 2
+
+
+def test_calibrate_buckets_cli(tmp_path):
+    info_path, coco_path = _fake_nuscenes(str(tmp_path))
+    cfg_path = _write_config(str(tmp_path), info_path, coco_path)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'calibrate_buckets.py'),
+         cfg_path, '--samples', '4'],
+        env=_env(), capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'model.overrides.k_max=' in r.stdout
+    assert 'model.overrides.max_gt=' in r.stdout
+    assert 'key-pixel union' in r.stdout

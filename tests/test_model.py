@@ -158,3 +158,10 @@ def test_mv2d_train_head_with_dn(rng):
     assert np.isfinite(np.asarray(out.all_bbox_preds)).all()
     assert np.isfinite(np.asarray(out.dn_bbox_preds)).all()
     assert int(np.asarray(out.dn_info.num_gt)) == 2
+    # overflow accounting invariant (the tiny preset's k_max is
+    # deliberately tight, so overflow may be nonzero here)
+    active = int(np.asarray(out.diagnostics['key_active']))
+    overflow = int(np.asarray(out.diagnostics['key_overflow']))
+    assert active > 0
+    assert overflow == max(0, active - cfg.k_max)
+    assert int(np.asarray(out.diagnostics['num_queries'])) == int(pv.sum())
