@@ -70,7 +70,10 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, fast_inference: bool = False):
         blocks = STAGE_BLOCKS[self.depth]
-        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        # fast_inference is a python bool routing flag: static under remat
+        # (arg 0 is the module instance in linen's checkpointed call)
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
                     use_bias=False, name='stem_conv')(x)
         x = FrozenBatchNorm(64, name='stem_bn')(x)

@@ -130,3 +130,39 @@ def test_full_train_step_decreases_loss(rng):
     q0 = variables['params']['bbox_head']['query_embedding_0']['kernel']
     q1 = state.params['bbox_head']['query_embedding_0']['kernel']
     assert np.abs(np.asarray(q0) - np.asarray(q1)).max() > 0
+
+
+def test_train_step_with_remat(rng):
+    """remat=True (reference with_cp) must trace: the fast_inference
+    routing bool is a static arg under nn.remat (regression: train_bench
+    broke when the flag was threaded through the backbone)."""
+    cfg = configs.tiny(key_mode='pixel', num_frames=1)._replace(remat=True)
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)) * 0.1,
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    gt2d = GroundTruth2D(
+        boxes=jnp.asarray(np.tile([[20, 16, 60, 48]], (V, 1, 1))),
+        labels=jnp.zeros((V, 1), jnp.int32),
+        valid=jnp.ones((V, 1), bool))
+    G = cfg.max_gt
+    g3b = np.zeros((G, 9), np.float32)
+    g3b[0] = [10, 0, -1, 2, 4, 1.5, 0.3, 0, 0]
+    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                         labels=jnp.zeros((G,), jnp.int32),
+                         valid=jnp.asarray(np.arange(G) < 1))
+    batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=img_shapes,
+                       gt2d=gt2d, gt3d=gt3d)
+    model = MV2D(cfg)
+    variables = model.init(
+        {'params': KEY, 'aug': KEY, 'dn': KEY, 'dropout': KEY},
+        imgs, cam, img_shapes, gt2d, gt3d, method=MV2D.forward_train)
+    tx = make_optimizer(variables['params'], base_lr=1e-3, total_steps=10,
+                        clip_norm=35.0)
+    state = init_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['total_loss']))
+    assert float(metrics['grad_norm']) > 0
