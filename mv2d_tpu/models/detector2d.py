@@ -95,8 +95,8 @@ class TwoStageDetector(nn.Module):
         differentiable=True (training) uses the XLA gather align (the Pallas
         patch-DMA kernel has no VJP yet); inference uses the kernel on TPU.
         """
-        import jax
-        if jax.default_backend() == 'tpu' and not differentiable:
+        from ..ops import pallas_enabled
+        if pallas_enabled() and not differentiable:
             from ..ops.pallas_roi_align import pallas_multilevel_roi_align
             roi_feats = pallas_multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
@@ -113,11 +113,11 @@ class TwoStageDetector(nn.Module):
         """Full 2D detection -> padded per-view Proposals (the reference's
         simple_test_w_feat + process_2d_detections,
         wrap_detector.py:73-87 / mv2d.py:60-86)."""
-        import jax as _jax
+        from ..ops import pallas_enabled
         V = feats[0].shape[0]
         prop_boxes, _, prop_valid = self.rpn(feats, image_shape, cfg)
         Rp = prop_boxes.shape[1]
-        if _jax.default_backend() == 'tpu':
+        if pallas_enabled():
             # slab-resident per-view kernel (one slab DMA per view, patches
             # read straight from VMEM - per-RoI patch DMAs are segment-rate
             # bound and XLA gathers descriptor-rate bound)

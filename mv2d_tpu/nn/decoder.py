@@ -51,10 +51,10 @@ class MHA(nn.Module):
         qp = nn.Dense(self.embed_dims, name='q_proj')(q)
         kp = nn.Dense(self.embed_dims, name='k_proj')(k)
         vp = nn.Dense(self.embed_dims, name='v_proj')(v)
-        import jax
+        from ..ops import pallas_enabled
         if (self.use_flash and deterministic and allowed is not None
                 and q.shape[0] == 1 and allowed.ndim == 3
-                and jax.default_backend() == 'tpu'):
+                and pallas_enabled()):
             # real-TPU only: interpret-mode flash on CPU is far slower than
             # the XLA attention (the kernel itself is tested via interpret)
             from ..ops.pallas_attention import masked_flash_attention

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,14 +25,72 @@ STAGE_BLOCKS = {
 }
 
 
+def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
+    """7x7/s2 pad-3 stem conv as space-to-depth + 4x4/s1 - exact same math.
+
+    A C_in=3 conv wastes the MXU's 128-lane contraction (the whole stem
+    measured 10.3 ms of the backbone's ~31 ms on v5e); folding a 2x2
+    space-to-depth into the kernel runs it as a dense 48->64 contraction.
+    out[y,x] = sum_{a,b} W7[a,b] in[2y+a-3, 2x+b-3] with tap row
+    a = 2e+dy-1 for s2d tile row e, subpixel dy - so W4[e,f,(dy,dx,c)] =
+    W7pad[2e+dy, 2f+dx, c] is a pure reshape of the zero-padded kernel and
+    gradients flow to the original checkpoint-shaped parameter.
+    """
+    V, H, W, C = x.shape
+    O = w7.shape[-1]
+    a = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))        # [8, 8, C, O]
+    w4 = a.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    w4 = w4.reshape(4, 4, 4 * C, O)
+    x2 = x.reshape(V, H // 2, 2, W // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(V, H // 2, W // 2, 4 * C)
+    return jax.lax.conv_general_dilated(
+        x2, w4.astype(x.dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class Bottleneck(nn.Module):
     planes: int            # bottleneck width; out channels = planes * 4
     stride: int = 1
     downsample: bool = False
     use_dcn: bool = False
+    # opt-in experiment: the whole-block Pallas kernel measured SLOWER than
+    # XLA's in-net convs (0.5-0.8x standalone, see docs/PERF.md) - XLA's
+    # cross-block layout chaining beats the kernel's relayout costs.  Kept
+    # for revival with DMA pipelining + lane-packed P<128 panels.
+    fused: bool = False
+
+    def _fused_inference(self, x):
+        """Whole-block Pallas kernel (identity bottlenecks, inference).
+
+        Reads the conv kernels / frozen-BN stats of the regular submodules
+        (same param tree, so checkpoints are unaffected) and folds the BN
+        affines into the matmul weights; see ops/pallas_bottleneck.py."""
+        from ..ops.pallas_bottleneck import fused_bottleneck
+
+        def fold(conv_name, bn_name):
+            k = self.get_variable('params', conv_name)['kernel']
+            g = self.get_variable('params', bn_name)['scale']
+            b = self.get_variable('params', bn_name)['bias']
+            mean = self.get_variable('constants', bn_name)['mean']
+            var = self.get_variable('constants', bn_name)['var']
+            s = g / jnp.sqrt(var + 1e-5)
+            return k, s, b - mean * s
+
+        k1, s1, b1 = fold('conv1', 'bn1')
+        k2, s2, b2 = fold('conv2', 'bn2')
+        k3, s3, b3 = fold('conv3', 'bn3')
+        p = self.planes
+        w1 = k1[0, 0] * s1[None, :]
+        w2 = (k2 * s2[None, None, None, :]).reshape(9 * p, p)
+        w3 = k3[0, 0] * s3[None, :]
+        return fused_bottleneck(x, w1, b1, w2, b2, w3, b3)
 
     @nn.compact
     def __call__(self, x, fast_inference: bool = False):
+        if (self.fused and fast_inference and not self.use_dcn
+                and self.stride == 1 and not self.downsample
+                and not self.is_initializing()):
+            return self._fused_inference(x)
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
         out = FrozenBatchNorm(self.planes, name='bn1')(out)
@@ -74,8 +133,14 @@ class ResNet(nn.Module):
         # (arg 0 is the module instance in linen's checkpointed call)
         block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
                      if self.remat else Bottleneck)
-        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
-                    use_bias=False, name='stem_conv')(x)
+        if (self.is_initializing() or x.shape[1] % 2 or x.shape[2] % 2
+                or x.shape[3] != 3):
+            x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                        use_bias=False, name='stem_conv')(x)
+        else:
+            # same parameter, space-to-depth form (see s2d_stem_conv)
+            x = s2d_stem_conv(
+                x, self.get_variable('params', 'stem_conv')['kernel'])
         x = FrozenBatchNorm(64, name='stem_bn')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

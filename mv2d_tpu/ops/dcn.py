@@ -87,8 +87,8 @@ class ModulatedDeformConv(nn.Module):
         # weight panel and samples with ONE MXU dot per segment (see
         # pallas_dcn.py; the earlier y-matmul + VPU x-reduce variant lost
         # to the gathers - its [Q, ww*C] f32 intermediate dominated).
-        if (use_pallas and K == 3 and C % 128 == 0
-                and jax.default_backend() == 'tpu'):
+        from . import pallas_enabled
+        if use_pallas and K == 3 and C % 128 == 0 and pallas_enabled():
             # band kernel: no gradient (zero tangents); inference only
             from .pallas_dcn import pallas_dcn_samples
             smp = pallas_dcn_samples(x, sy.astype(jnp.float32),

@@ -190,3 +190,21 @@ def test_vovnet_stage_shapes(rng):
     outs = model.apply(params, x)
     assert [o.shape for o in outs] == [
         (1, 16, 24, 256), (1, 8, 12, 512), (1, 4, 6, 768), (1, 2, 3, 1024)]
+
+
+def test_s2d_stem_exact():
+    # space-to-depth stem == the plain 7x7/s2 pad-3 conv, same kernel
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mv2d_tpu.nn.resnet import s2d_stem_conv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 16)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w7, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = s2d_stem_conv(x, w7)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -50,7 +50,16 @@ def main():
     imgs = jnp.asarray(rng.normal(size=(V, *mc.image_size, 3)),
                        dtype=jnp.float32)
     shapes = jnp.asarray([[*mc.image_size]] * V)
-    variables = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    # materialize random params host-side from the eval_shape structure -
+    # an eager init would crawl op-by-op over the device tunnel
+    struct = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, cam,
+                            shapes)
+    host_rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            host_rng.normal(0, 0.02, s.shape).astype(s.dtype)
+            if np.issubdtype(s.dtype, np.floating)
+            else np.zeros(s.shape, s.dtype)), struct)
     if args.bf16:
         cast = lambda x: x.astype(jnp.bfloat16) \
             if x.dtype == jnp.float32 else x
@@ -65,14 +74,18 @@ def main():
     else:
         fwd = jax.jit(lambda v, i: model.apply(v, i, cam, shapes))
         run = lambda: fwd(variables, imgs)
-    out = run()
-    jax.block_until_ready(out)
+    def force(out):
+        # fetch one element: on the remote-TPU backend block_until_ready
+        # acks enqueue rather than completion, so fetch a value
+        return jax.device_get(jax.tree.leaves(out)[0].reshape(-1)[0])
+
+    force(run())
     for _ in range(args.warmup):
-        jax.block_until_ready(run())
+        force(run())
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run()
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     print(f'{args.iters * B / dt:.3f} samples/s '
           f'({dt / args.iters / B * 1000:.1f} ms/sample, batch {B}, '

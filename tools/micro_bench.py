@@ -166,6 +166,29 @@ def main():
         timed(jax.jit(lambda u, v: u @ v), a, b,
               name='matmul ~stage2 3x3 eq')
 
+    if which in ('bottleneck', 'all'):
+        # fused whole-block Pallas kernel vs plain XLA, identity blocks at
+        # the backbone's true per-stage shapes (12 views @ 512x1408)
+        from mv2d_tpu.nn.resnet import Bottleneck
+        for planes, shape in ((64, (12, 128, 352, 256)),
+                              (128, (12, 64, 176, 512)),
+                              (256, (12, 32, 88, 1024)),
+                              (512, (12, 16, 44, 2048))):
+            y = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+            mod = Bottleneck(planes, fused=True)
+            struct = jax.eval_shape(mod.init, jax.random.PRNGKey(0), y)
+            params = jax.tree.map(
+                lambda s: jnp.asarray(
+                    rng.normal(0, 0.02, s.shape).astype(s.dtype)
+                    if np.issubdtype(s.dtype, np.floating)
+                    else np.zeros(s.shape, s.dtype)), struct)
+            a = timed(jax.jit(lambda p, z: mod.apply(p, z)), params, y,
+                      name=f'bottleneck p{planes} XLA')
+            b = timed(jax.jit(
+                lambda p, z: mod.apply(p, z, fast_inference=True)),
+                params, y, name=f'bottleneck p{planes} fused')
+            print(f'    -> {a / b:.2f}x')
+
 
 if __name__ == '__main__':
     main()
