@@ -257,9 +257,20 @@ class MV2D(nn.Module):
 
         # RoIAlign on feat ++ 3dpe (ref mv2d_head.py:114-119); chunked so the
         # training-path gather transient stays bounded
+        # Separable two-matmul align over the shared p4 tile (4.6 ms vs
+        # 18.6 ms gather / 23.9 ms slab kernel at 900 RoIs x 512 ch, see
+        # docs/PERF.md).  Exact roi_align semantics, differentiable.
         cat = jnp.concatenate([p4, pos], axis=-1)
-        roi_feats = roi_align(cat, flat_boxes, view_idx, 1.0 / c.stride,
-                              c.roi_size, sampling_ratio=2, chunk=512)
+        if deterministic:
+            from ..ops.roi_align import separable_roi_align_views
+            roi_feats = separable_roi_align_views(
+                cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=2)
+            roi_feats = roi_feats.reshape(R, c.roi_size, c.roi_size,
+                                          cat.shape[-1])
+        else:
+            # training: chunked gather bounds the AD-kept transient
+            roi_feats = roi_align(cat, flat_boxes, view_idx, 1.0 / c.stride,
+                                  c.roi_size, sampling_ratio=2, chunk=512)
         bbox_feats, roi_pe = jnp.split(roi_feats, 2, axis=-1)
 
         ref_pts, _ = self.query_generator(bbox_feats, Kv,

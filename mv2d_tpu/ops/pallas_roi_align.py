@@ -456,11 +456,9 @@ def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
     import jax as _jax
     if interpret is None:
         interpret = _jax.default_backend() != 'tpu'
-    sum_h = sum(f.shape[1] for f in feats)
-    if ((not interpret and feats[0].shape[-1] % 128 != 0)
-            or sum_h < PASS_SIZES[-1]):
-        # C must fill whole 128-lane registers (Mosaic reshape rule) and the
-        # slab must hold the largest patch; small configs take XLA gather
+    if not interpret and feats[0].shape[-1] % 128 != 0:
+        # C must fill whole 128-lane registers (Mosaic reshape rule);
+        # small-channel configs take XLA gather
         from .roi_align import multilevel_roi_align
         V, P = rois.shape[:2]
         vi = jnp.repeat(jnp.arange(V), P)
@@ -545,6 +543,13 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         Hs_c.append(Hl)
         Ws_c.append(Wl)
     stacked = jnp.concatenate(parts, axis=1)
+    if stacked.shape[1] < PASS_SIZES[-1]:
+        # short slabs (e.g. the single p4 level, 32 rows) are zero-padded so
+        # the largest patch pass always fits; the pad rows carry zero hat
+        # weights and never contribute
+        stacked = jnp.pad(stacked, ((0, 0),
+                                    (0, PASS_SIZES[-1] - stacked.shape[1]),
+                                    (0, 0), (0, 0)))
     Hslab = stacked.shape[1]
 
     # ---- per-roi geometry at the routed level (pass-dependent clipping)

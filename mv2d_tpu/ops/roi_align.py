@@ -166,6 +166,64 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
     return vals.mean(axis=(2, 4))
 
 
+def _separable_weights(lo: jnp.ndarray, width: jnp.ndarray, n_cells: int,
+                       output_size: int, sampling_ratio: int) -> jnp.ndarray:
+    """Per-RoI row/col RoIAlign weights [..., O, n_cells].
+
+    Row oi of the result holds the bin's averaged bilinear hat profile over
+    the feature grid: W[oi, c] = (1/S) sum_s hat(clip(x_s) - c) * 1[-1<x_s<n]
+    with x_s = lo + (oi + (s+.5)/S) * width / O.  Contracting feature rows
+    and columns with these matrices reproduces roi_align EXACTLY (the
+    bilinear weights, border clamping, outside-zero rule and the SxS sample
+    average all factor per axis).
+    """
+    S = max(sampling_ratio, 1)
+    O = output_size
+    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+    xs = lo[..., None, None] + grid * (width / O)[..., None, None]
+    inside = (xs > -1.0) & (xs < n_cells)                  # [..., O, S]
+    xc = jnp.clip(xs, 0.0, n_cells - 1)
+    cells = jnp.arange(n_cells, dtype=xc.dtype)
+    hat = jnp.maximum(1.0 - jnp.abs(xc[..., None] - cells), 0.0)
+    hat = hat * inside[..., None]
+    return hat.sum(-2) / S                                 # [..., O, cells]
+
+
+def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
+                              spatial_scale: float, output_size: int = 7,
+                              sampling_ratio: int = 2,
+                              aligned: bool = True) -> jnp.ndarray:
+    """RoIAlign as two dense batched matmuls over the shared per-view tile.
+
+    feat: [V, H, W, C]; boxes: [V, P, 4] image-pixel rois.  Returns
+    [V, P, O, O, C].  Exact roi_align semantics (see _separable_weights);
+    instead of gathering 4 neighbours per sample (descriptor-rate bound,
+    4x data amplification in the parity layout) every RoI row/col becomes a
+    weight vector and the whole view tile is contracted on the MXU:
+    out[p,i,j,c] = sum_y Wy[p,i,y] sum_x Wx[p,j,x] F[y,x,c].
+    X is contracted first (the kept spatial axis is the short one).
+    Differentiable (pure einsums).
+    """
+    V, H, W, C = feat.shape
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[..., 0] * spatial_scale - offset
+    y1 = boxes[..., 1] * spatial_scale - offset
+    bw = (boxes[..., 2] - boxes[..., 0]) * spatial_scale
+    bh = (boxes[..., 3] - boxes[..., 1]) * spatial_scale
+    if not aligned:
+        bw = jnp.maximum(bw, 1.0)
+        bh = jnp.maximum(bh, 1.0)
+    Wx = _separable_weights(x1, bw, W, output_size, sampling_ratio)
+    Wy = _separable_weights(y1, bh, H, output_size, sampling_ratio)
+    Wx = Wx.astype(feat.dtype)
+    Wy = Wy.astype(feat.dtype)
+    t = jnp.einsum('vpjx,vyxc->vpjyc', Wx, feat,
+                   preferred_element_type=jnp.float32).astype(feat.dtype)
+    out = jnp.einsum('vpiy,vpjyc->vpijc', Wy, t,
+                     preferred_element_type=jnp.float32)
+    return out.astype(feat.dtype)
+
+
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          view_idx: jnp.ndarray,
                          strides: Sequence[int], output_size: int = 7,

@@ -132,3 +132,26 @@ def test_block_layout_align_matches_gather(rng):
                                        block_layout=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_separable_roi_align_matches_gather(rng):
+    """The two-matmul separable form == the gather roi_align, incl borders."""
+    import jax.numpy as jnp
+    from mv2d_tpu.ops.roi_align import roi_align, separable_roi_align_views
+    V, H, W, C = 2, 16, 24, 8
+    feat = jnp.asarray(rng.normal(size=(V, H, W, C)), jnp.float32)
+    P = 9
+    xy = rng.uniform(-30, 350, (V, P, 2))
+    wh = rng.uniform(2, 300, (V, P, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    # a roi fully outside (zero), one spanning the border, one tiny
+    boxes = boxes.at[0, 0].set(jnp.asarray([-200., -200., -40., -40.]))
+    boxes = boxes.at[0, 1].set(jnp.asarray([-60., -60., 90., 90.]))
+    boxes = boxes.at[1, 2].set(jnp.asarray([33., 17., 34.5, 18.2]))
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = roi_align(feat, boxes.reshape(V * P, 4), vi, 1.0 / 16.0,
+                     output_size=7, sampling_ratio=2)
+    got = separable_roi_align_views(feat, boxes, 1.0 / 16.0,
+                                    output_size=7, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, C),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -78,3 +78,22 @@ def test_pallas_align_views_matches_xla(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
                                np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_single_short_level(rng):
+    """Single p4-style level whose slab (32 rows) is shorter than the
+    largest patch pass - exercises the zero-pad slab path used by the
+    roi-head align (models/mv2d.py roi_head_forward)."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    feats = [jnp.asarray(rng.normal(size=(2, 32, 88, 16)), jnp.float32)]
+    V, P = 2, 16
+    xy = rng.uniform(0, 600, (V, P, 2)) * jnp.asarray([1.0, 0.5])
+    wh = rng.uniform(8, 700, (V, P, 2)) * jnp.asarray([1.0, 0.6])
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    rois = rois.at[0, 0].set(jnp.asarray([0., 0., 1380., 500.]))  # huge
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, [16])
+    got = pallas_roi_align_views(feats, rois, [16], rois_per_step=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 16),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)
