@@ -290,15 +290,27 @@ class MV2D(nn.Module):
             in_roi = in_roi_pixel_masks(boxes, proposals.valid, (h, w),
                                         c.stride, c.correlation.expand_stride)
             A = adjacency_from_correlation(corr_ids, corr_mask, R)
-            M = query_pixel_masks(A, in_roi)                     # [R, V*hw]
-            union = M.any(axis=0)
+            # union needs no matmul: pixel (v, i) is active iff it lies in
+            # any roi that SOME query correlates to - and the per-query
+            # mask matmul only needs the k_max gathered key columns, not
+            # all V*h*w (saves the [R, V*hw] f32 intermediate)
+            qact = A.any(axis=0).reshape(V, P)
+            union = (in_roi & qact[:, :, None]).any(axis=1).reshape(-1)
             n_active = union.sum().astype(jnp.int32)
             key_overflow = jnp.maximum(n_active - c.k_max, 0)
             key_idx, key_active = gather_active_keys(union, c.k_max)
             key_ok = key_active & ~pad_mask.reshape(-1)[key_idx]
             keys = p4.reshape(V * h * w, C)[key_idx]
             key_pos = pos.reshape(V * h * w, C)[key_idx]
-            cross = M[:, key_idx] & key_ok[None]                 # [R, K]
+            vk = key_idx // (h * w)
+            ik = key_idx % (h * w)
+            G = in_roi[:, :, ik] & (jnp.arange(V)[:, None, None]
+                                    == vk[None, None, :])        # [V, P, K]
+            hits = jnp.einsum('rvp,vpk->rk',
+                              A.reshape(R, V, P).astype(jnp.bfloat16),
+                              G.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            cross = (hits > 0.5) & key_ok[None]                  # [R, K]
         else:  # roi mode (MV2D-S, ref mv2d_s_head.py:184-192)
             Ccorr = corr_ids.shape[1]
             area = c.roi_size * c.roi_size

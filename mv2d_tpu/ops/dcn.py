@@ -89,15 +89,15 @@ class ModulatedDeformConv(nn.Module):
         # to the gathers - its [Q, ww*C] f32 intermediate dominated).
         from . import pallas_enabled
         if use_pallas and K == 3 and C % 128 == 0 and pallas_enabled():
-            # band kernel: no gradient (zero tangents); inference only
-            from .pallas_dcn import pallas_dcn_samples
-            smp = pallas_dcn_samples(x, sy.astype(jnp.float32),
-                                     sx.astype(jnp.float32),
-                                     mask.astype(jnp.float32),
-                                     stride=self.stride)   # [V,Ho,Wo,9C]
-            return jnp.einsum(
-                'vhwq,qf->vhwf', smp, w.reshape(K * K * C, self.features),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+            # band kernel with IN-KERNEL tap-weight contraction: the
+            # [V,Ho,Wo,9C] modulated-samples tensor (~156 MB/stage-3 layer)
+            # never reaches HBM.  No gradient (zero tangents);
+            # inference only
+            from .pallas_dcn import pallas_dcn_conv
+            return pallas_dcn_conv(
+                x, sy.astype(jnp.float32), sx.astype(jnp.float32),
+                mask.astype(jnp.float32), w.astype(x.dtype),
+                stride=self.stride).astype(x.dtype)
         P = Ho * Wo * K * K
         samples = _dense_bilinear(x, sx.reshape(V, P), sy.reshape(V, P))
         samples = samples.reshape(V, Ho, Wo, K * K, C)

@@ -12,13 +12,15 @@ dense band algebra:
     of W2D is the 4-nonzero bilinear stencil hat_y*hat_x*mask of sample q
     over the flattened window (built on the VPU from broadcast hats -
     no per-sample intermediate ever materializes),
-  * the kernel emits raw modulated samples [V, Ho, Wo, 9C] and the
-    tap-weight contraction runs as one big XLA matmul outside,
+  * `pallas_dcn_conv` then contracts the tap weights IN-KERNEL (nine
+    [64, C] @ [C, F] dots per segment) and emits the conv output
+    [V, Ho, Wo, F] directly - the modulated samples tensor [V, Ho, Wo, 9C]
+    (~156 MB per stage-3 layer) never reaches HBM.  `pallas_dcn_samples`
+    (the samples-only form) remains for parity tests,
   * samples whose learned offset leaves the band window (|dy| or |dx|
     beyond ~7 px; rare in trained models - offsets are zero-init) are
     computed exactly by the XLA gather path for up to `overflow_bucket`
-    samples and scattered into the samples tensor before the weight
-    matmul, so results match ops/dcn.py exactly.
+    samples and folded in afterwards, so results match ops/dcn.py exactly.
 
 Inference only: tangents are ZERO (custom_jvp); training uses the
 differentiable XLA gather path (ref: mmcv ModulatedDeformConv2d CUDA op,
@@ -38,19 +40,38 @@ RB = 8    # output rows per grid step
 SW = 8    # output cols per segment
 
 
-def _kernel(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, out_ref, band,
-            sem, *, nb: int, bh: int, ww: int, stride: int, h_in: int,
-            wp_in: int):
+def _stencil(cy_ref, cx_ref, sy_ref, sx_ref, m_ref, band, *, stride: int,
+             wp_in: int, ww: int):
+    """Shared stencil-panel sampling: returns (samples [Q, C] f32)."""
+    s = pl.program_id(1)
+    C = band.shape[-1]
+    bh = band.shape[0]
+    # all quantities are multiples of 8 (SW=8, ww=8*stride+16, Wp%8==0) but
+    # Mosaic cannot prove it through the clip; assert alignment explicitly
+    xw0 = pl.multiple_of(
+        jnp.clip(s * SW * stride - 8, 0, max(wp_in - ww, 0)), 8)
+
+    ys = sy_ref[0, 0]                                  # [1, Q] row vector
+    xs = sx_ref[0, 0]
+    mm = m_ref[0, 0]
+    # build TRANSPOSED [J, Q]: cell coords go on sublanes ([J, 1] consts),
+    # sample coords stay a natural [1, Q] row - no relayouts either way
+    hy = jnp.maximum(1.0 - jnp.abs(cy_ref[:, :1] - ys), 0.0)   # [J, Q]
+    hx = jnp.maximum(1.0 - jnp.abs(cx_ref[:, :1] - xs), 0.0)
+    w2dt = hy * hx * mm                                # [J, Q]
+
+    win = band[:, pl.ds(xw0, ww), :].reshape(bh * ww, C)
+    smp = jax.lax.dot_general(
+        w2dt.astype(band.dtype), win, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [Q, C]
+    return smp
+
+
+def _kernel_samples(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, out_ref,
+                    band, sem, *, nb: int, bh: int, ww: int, stride: int,
+                    h_in: int, wp_in: int):
     """Grid (V*NB, NSg) - segments are a grid dim (an unrolled in-kernel
     segment loop made Mosaic compile time quadratic in W).
-
-    Per segment, the 9 taps x 64 pixels = 576 bilinear samples are ONE MXU
-    dot: row q of the weight matrix W2D[q, j] = hat_y(ys_q - cy_j) *
-    hat_x(xs_q - cx_j) * m_q is the (rank-1, 4-nonzero) bilinear stencil of
-    sample q over the flattened [bh*ww] window, and
-    samples = W2D @ window.reshape(bh*ww, C).  (The earlier two-stage
-    y-matmul + VPU x-reduction materialized a [576, ww*C] f32 intermediate
-    whose VMEM traffic dominated: 17 ms vs the gather path's 10 ms.)
 
     cy/cx_ref: [J, 1] window cell coordinates (host consts, j = yy*ww+xx);
     x_ref: [V, Hp, Wp, C] (ANY); sy/sx/m: [1, 1, 1, Q=576] VMEM blocks
@@ -70,41 +91,60 @@ def _kernel(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, out_ref, band,
         cp.start()
         cp.wait()
 
-    # all quantities are multiples of 8 (SW=8, ww=8*stride+16, Wp%8==0) but
-    # Mosaic cannot prove it through the clip; assert alignment explicitly
-    xw0 = pl.multiple_of(
-        jnp.clip(s * SW * stride - 8, 0, max(wp_in - ww, 0)), 8)
-
-    ys = sy_ref[0, 0]                                  # [1, Q] row vector
-    xs = sx_ref[0, 0]
-    mm = m_ref[0, 0]
-    # build TRANSPOSED [J, Q]: cell coords go on sublanes ([J, 1] consts),
-    # sample coords stay a natural [1, Q] row - no relayouts either way
-    hy = jnp.maximum(1.0 - jnp.abs(cy_ref[:, :1] - ys), 0.0)   # [J, Q]
-    hx = jnp.maximum(1.0 - jnp.abs(cx_ref[:, :1] - xs), 0.0)
-    w2dt = hy * hx * mm                                # [J, Q]
-
-    win = band[:, pl.ds(xw0, ww), :].reshape(bh * ww, C)
-    smp = jax.lax.dot_general(
-        w2dt.astype(band.dtype), win, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [Q, C]
+    smp = _stencil(cy_ref, cx_ref, sy_ref, sx_ref, m_ref, band,
+                   stride=stride, wp_in=wp_in, ww=ww)
     out_ref[0, :, :, :] = smp.reshape(9, RB * SW, C).astype(out_ref.dtype)
 
 
-def _run_kernel(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
-                m: jnp.ndarray, stride: int, bh: int, ww: int,
-                interpret: bool) -> jnp.ndarray:
+def _kernel_conv(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, w_ref,
+                 out_ref, band, sem, *, nb: int, bh: int, ww: int,
+                 stride: int, h_in: int, wp_in: int):
+    """As _kernel_samples, but contracts the tap weights in-kernel:
+    w_ref [9*C, F] (rows tap-major); out_ref [1, RB*SW, F]."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    C = band.shape[-1]
+    F = w_ref.shape[-1]
+    v = i // nb
+    rb = i % nb
+    y0 = jnp.clip(rb * RB * stride - 8, 0, max(h_in - bh, 0))
+
+    @pl.when(s == 0)
+    def _load_band():
+        cp = pltpu.make_async_copy(x_ref.at[v, pl.ds(y0, bh)], band, sem)
+        cp.start()
+        cp.wait()
+
+    smp = _stencil(cy_ref, cx_ref, sy_ref, sx_ref, m_ref, band,
+                   stride=stride, wp_in=wp_in, ww=ww)
+    smp = smp.astype(band.dtype)                       # [Q, C] (q-major)
+    acc = jnp.zeros((RB * SW, F), jnp.float32)
+    for t in range(9):
+        acc = acc + jax.lax.dot_general(
+            smp[t * RB * SW:(t + 1) * RB * SW, :],
+            w_ref[pl.ds(t * C, C), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _cell_coords(bh, ww):
+    J = bh * ww
+    jj = np.arange(J)
+    cy = jnp.asarray((jj // ww)[:, None], jnp.float32)   # [J, 1]
+    cx = jnp.asarray((jj % ww)[:, None], jnp.float32)
+    return cy, cx
+
+
+def _run_samples(x, sy, sx, m, stride, bh, ww, interpret):
     """x: [V, Hp, Wp, C]; sy/sx/m: [V*NB, NSg, 1, Q=9*64] (q-major) ->
     [V*NB, 9, NSg*64, C]."""
     V, Hp, Wp, C = x.shape
     G, nsg = sy.shape[0], sy.shape[1]
     Q = 9 * RB * SW
+    cy, cx = _cell_coords(bh, ww)
     J = bh * ww
-    jj = np.arange(J)
-    cy = jnp.asarray((jj // ww)[:, None], jnp.float32)   # [J, 1]
-    cx = jnp.asarray((jj % ww)[:, None], jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_kernel, nb=G // V, bh=bh, ww=ww,
+        functools.partial(_kernel_samples, nb=G // V, bh=bh, ww=ww,
                           stride=stride, h_in=Hp, wp_in=Wp),
         grid=(G, nsg),
         in_specs=[pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
@@ -126,34 +166,42 @@ def _run_kernel(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     return out
 
 
-@functools.lru_cache(maxsize=None)
-def _make_apply(stride, overflow_bucket, interpret):
-    @jax.custom_jvp
-    def f(x, sy, sx, m):
-        return _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret)
+def _run_conv(x, sy, sx, m, w, stride, bh, ww, interpret):
+    """As _run_samples but contracts w [9C, F] in-kernel ->
+    [V*NB, NSg*64, F]."""
+    V, Hp, Wp, C = x.shape
+    G, nsg = sy.shape[0], sy.shape[1]
+    Q = 9 * RB * SW
+    F = w.shape[-1]
+    cy, cx = _cell_coords(bh, ww)
+    J = bh * ww
+    out = pl.pallas_call(
+        functools.partial(_kernel_conv, nb=G // V, bh=bh, ww=ww,
+                          stride=stride, h_in=Hp, wp_in=Wp),
+        grid=(G, nsg),
+        in_specs=[pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
+                  pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
+                  pl.BlockSpec((9 * C, F), lambda i, s: (0, 0))],
+        out_specs=pl.BlockSpec((1, RB * SW, F), lambda i, s: (i, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, nsg * RB * SW, F), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bh, Wp, C), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(cy, cx, x, sy, sx, m, w)
+    return out
 
-    @f.defjvp
-    def _jvp(primals, tangents):
-        out = f(*primals)
-        return out, jnp.zeros_like(out)
 
-    return f
+def _geometry(x, sy, sx, m, stride):
+    """Shared band geometry + packed sample coords.
 
-
-def pallas_dcn_samples(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
-                       m: jnp.ndarray, stride: int = 1,
-                       overflow_bucket: int = 2048,
-                       interpret: bool | None = None) -> jnp.ndarray:
-    """x: [V, H, W, C]; sy/sx: [V, Ho, Wo, 9] absolute sample coords;
-    m: [V, Ho, Wo, 9] modulation.  Returns modulated bilinear samples
-    [V, Ho, Wo, 9*C] (tap-major), matching ops/dcn's gather+modulate
-    exactly.  NO gradient (zero tangents) - inference only."""
-    if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
-    return _make_apply(stride, overflow_bucket, interpret)(x, sy, sx, m)
-
-
-def _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
+    Returns (xp, packed (sy, sx, meff), dims dict)."""
     V, H, W, C = x.shape
     Ho, Wo = sy.shape[1], sy.shape[2]
     # band geometry (8-aligned origins; margins give ~±7px offset coverage)
@@ -193,37 +241,158 @@ def _apply_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
         a = a.transpose(0, 1, 3, 5, 2, 4)
         return a.reshape(V * nb, nsg, 1, 9 * RB * SW)
 
-    samples = _run_kernel(xp, pack(ys_rel.astype(jnp.float32)),
-                          pack(xs_rel.astype(jnp.float32)),
-                          pack(meff.astype(jnp.float32)),
-                          stride, bh, ww, interpret)
+    dims = dict(V=V, H=H, W=W, C=C, Ho=Ho, Wo=Wo, nb=nb, nsg=nsg,
+                Hop=Hop, Wop=Wop, bh=bh, ww=ww)
+    over_info = (inside, inband, pix_valid, sxp, syp, mp)
+    return (xp, pack(ys_rel.astype(jnp.float32)),
+            pack(xs_rel.astype(jnp.float32)),
+            pack(meff.astype(jnp.float32)), dims, over_info)
+
+
+def _overflow_select(dims, over_info, overflow_bucket):
+    """Indices (into the flat [V*Ho*Wo*9] sample space) of out-of-band
+    samples, compacted into a K-slot buffer with sentinel P."""
+    V, Ho, Wo = dims['V'], dims['Ho'], dims['Wo']
+    inside, inband, pix_valid, sxp, syp, mp = over_info
+    over = (inside & ~inband & pix_valid[None, :, :, None] &
+            (mp != 0.0))[:, :Ho, :Wo]
+    P = V * Ho * Wo * 9
+    K = min(overflow_bucket, P)
+    flat_over = over.reshape(P)
+    # stable compaction of the (rare) overflow indices without a sort:
+    # position by cumsum, scatter into a K-slot buffer (drops past K).
+    # Unused slots keep the P sentinel so the final scatter-add drops
+    # them (a 0 sentinel would duplicate-add sample 0).
+    pos = jnp.cumsum(flat_over) - 1
+    sel = jnp.full((K,), P, jnp.int32).at[
+        jnp.where(flat_over, pos, K)].set(
+        jnp.arange(P, dtype=jnp.int32), mode='drop')
+    return sel, flat_over, P
+
+
+def _overflow_values(x, dims, over_info, sel, flat_over):
+    """Exact modulated bilinear values [K, C] for the selected samples."""
+    V, Ho, Wo = dims['V'], dims['Ho'], dims['Wo']
+    inside, inband, pix_valid, sxp, syp, mp = over_info
+    P = V * Ho * Wo * 9
+    vi = (sel // (Ho * Wo * 9)).astype(jnp.int32)
+    from .roi_align import _bilinear_gather
+    vals = _bilinear_gather(
+        x, vi, sxp[:, :Ho, :Wo].reshape(P)[sel][:, None],
+        syp[:, :Ho, :Wo].reshape(P)[sel][:, None])[:, 0]
+    return vals * (mp[:, :Ho, :Wo].reshape(P)[sel]
+                   * flat_over[sel])[:, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_samples_apply(stride, overflow_bucket, interpret):
+    @jax.custom_jvp
+    def f(x, sy, sx, m):
+        return _samples_impl(x, sy, sx, m, stride, overflow_bucket,
+                             interpret)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = f(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f
+
+
+def pallas_dcn_samples(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                       m: jnp.ndarray, stride: int = 1,
+                       overflow_bucket: int = 2048,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """x: [V, H, W, C]; sy/sx: [V, Ho, Wo, 9] absolute sample coords;
+    m: [V, Ho, Wo, 9] modulation.  Returns modulated bilinear samples
+    [V, Ho, Wo, 9*C] (tap-major), matching ops/dcn's gather+modulate
+    exactly.  NO gradient (zero tangents) - inference only."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _make_samples_apply(stride, overflow_bucket, interpret)(
+        x, sy, sx, m)
+
+
+def _samples_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
+    xp, psy, psx, pm, dims, over_info = _geometry(x, sy, sx, m, stride)
+    V, C = dims['V'], dims['C']
+    Ho, Wo, nb, nsg = dims['Ho'], dims['Wo'], dims['nb'], dims['nsg']
+    Hop, Wop = dims['Hop'], dims['Wop']
+    samples = _run_samples(xp, psy, psx, pm, stride, dims['bh'],
+                           dims['ww'], interpret)
     # [V*NB, 9, NSg*64, C] -> [V, Ho, Wo, 9, C]
     samples = samples.reshape(V, nb, 9, nsg, RB, SW, C)
     samples = samples.transpose(0, 1, 4, 3, 5, 2, 6)
     samples = samples.reshape(V, Hop, Wop, 9, C)[:, :Ho, :Wo]
 
     if overflow_bucket > 0:
-        over = (inside & ~inband & pix_valid[None, :, :, None] &
-                (mp != 0.0))[:, :Ho, :Wo]
-        P = V * Ho * Wo * 9
-        K = min(overflow_bucket, P)
-        flat_over = over.reshape(P)
-        # stable compaction of the (rare) overflow indices without a sort:
-        # position by cumsum, scatter into a K-slot buffer (drops past K).
-        # Unused slots keep the P sentinel so the final scatter-add drops
-        # them (a 0 sentinel would duplicate-add sample 0).
-        pos = jnp.cumsum(flat_over) - 1
-        sel = jnp.full((K,), P, jnp.int32).at[
-            jnp.where(flat_over, pos, K)].set(
-            jnp.arange(P, dtype=jnp.int32), mode='drop')
-        vi = (sel // (Ho * Wo * 9)).astype(jnp.int32)
-        from .roi_align import _bilinear_gather
-        vals = _bilinear_gather(
-            x, vi, sxp[:, :Ho, :Wo].reshape(P)[sel][:, None],
-            syp[:, :Ho, :Wo].reshape(P)[sel][:, None])[:, 0]
-        vals = vals * (mp[:, :Ho, :Wo].reshape(P)[sel]
-                       * flat_over[sel])[:, None]
+        sel, flat_over, P = _overflow_select(dims, over_info,
+                                             overflow_bucket)
+        vals = _overflow_values(x, dims, over_info, sel, flat_over)
         flat = samples.reshape(P, C)
         flat = flat.at[sel].add(vals.astype(flat.dtype), mode='drop')
         samples = flat.reshape(V, Ho, Wo, 9, C)
     return samples.reshape(V, Ho, Wo, 9 * C)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_conv_apply(stride, overflow_bucket, interpret):
+    @jax.custom_jvp
+    def f(x, sy, sx, m, w):
+        return _conv_impl(x, sy, sx, m, w, stride, overflow_bucket,
+                          interpret)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = f(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f
+
+
+def pallas_dcn_conv(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                    m: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                    overflow_bucket: int = 2048,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """Full DCNv2 conv: samples contracted with w [9, C, F] (tap-major)
+    IN-KERNEL.  Returns [V, Ho, Wo, F] == einsum('vhw(tc),(tc)f', samples,
+    w) with the samples of pallas_dcn_samples.  Inference only."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    K2, C, F = w.shape
+    return _make_conv_apply(stride, overflow_bucket, interpret)(
+        x, sy, sx, m, w.reshape(K2 * C, F))
+
+
+def _conv_impl(x, sy, sx, m, w, stride, overflow_bucket, interpret):
+    xp, psy, psx, pm, dims, over_info = _geometry(x, sy, sx, m, stride)
+    V, C = dims['V'], dims['C']
+    Ho, Wo, nb, nsg = dims['Ho'], dims['Wo'], dims['nb'], dims['nsg']
+    Hop, Wop = dims['Hop'], dims['Wop']
+    F = w.shape[-1]
+    wb = w.astype(x.dtype)
+    out = _run_conv(xp, psy, psx, pm, wb, stride, dims['bh'], dims['ww'],
+                    interpret)
+    # [V*NB, NSg*64, F] -> [V, Ho, Wo, F]
+    out = out.reshape(V, nb, nsg, RB, SW, F)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(V, Hop, Wop, F)
+    out = out[:, :Ho, :Wo]
+
+    if overflow_bucket > 0:
+        sel, flat_over, P = _overflow_select(dims, over_info,
+                                             overflow_bucket)
+        vals = _overflow_values(x, dims, over_info, sel, flat_over)
+        K = sel.shape[0]
+        tap = jnp.minimum(sel % 9, 8)
+        # place each value in its tap's block of a [K, 9C] panel, then one
+        # matmul with w folds the tap weights; add at the sample's pixel
+        panel = (vals[:, None, :].astype(wb.dtype)
+                 * jax.nn.one_hot(tap, 9, dtype=wb.dtype)[:, :, None])
+        contrib = jax.lax.dot_general(
+            panel.reshape(K, 9 * C), wb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pix = jnp.where(sel < P, sel // 9, V * Ho * Wo).astype(jnp.int32)
+        flat = out.reshape(V * Ho * Wo, F)
+        flat = flat.at[pix].add(contrib.astype(flat.dtype), mode='drop')
+        out = flat.reshape(V, Ho, Wo, F)
+    return out

@@ -115,3 +115,31 @@ def test_correlation_matches_numpy_oracle(rng):
         got = set(ids[r][mask[r]].tolist())
         want = set(oid[r][omask[r]].tolist())
         assert got == want, (r, got, want)
+
+
+def test_gathered_cross_equals_full_mask(rng):
+    """The key-column-first cross computation (models/mv2d.py pixel branch)
+    == gathering columns of the full query_pixel_masks matmul."""
+    import jax.numpy as jnp
+    from mv2d_tpu.models.correlation import (query_pixel_masks,
+                                             gather_active_keys)
+    V, P, h, w = 3, 6, 4, 5
+    R, hw = V * P, h * w
+    A = jnp.asarray(rng.uniform(size=(R, R)) < 0.2)
+    A = A | jnp.eye(R, dtype=bool)
+    in_roi = jnp.asarray(rng.uniform(size=(V, P, hw)) < 0.3)
+    M = query_pixel_masks(A, in_roi)
+    union_ref = M.any(axis=0)
+    qact = A.any(axis=0).reshape(V, P)
+    union = (in_roi & qact[:, :, None]).any(axis=1).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(union), np.asarray(union_ref))
+    k_max = 16
+    key_idx, key_active = gather_active_keys(union, k_max)
+    vk = key_idx // hw
+    ik = key_idx % hw
+    G = in_roi[:, :, ik] & (jnp.arange(V)[:, None, None] == vk[None, None])
+    hits = jnp.einsum('rvp,vpk->rk', A.reshape(R, V, P).astype(jnp.float32),
+                      G.astype(jnp.float32))
+    cross = (hits > 0.5) & key_active[None]
+    cross_ref = M[:, key_idx] & key_active[None]
+    np.testing.assert_array_equal(np.asarray(cross), np.asarray(cross_ref))

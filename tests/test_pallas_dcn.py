@@ -74,3 +74,31 @@ def test_zero_tangent():
                                                      interpret=True),
                         (x,), (jnp.ones_like(x),))
     assert float(jnp.abs(tang).max()) == 0.0
+
+
+@pytest.mark.parametrize('stride', [1, 2])
+def test_conv_kernel_matches_einsum(stride):
+    """pallas_dcn_conv == einsum(pallas samples, w), incl big-offset
+    overflow samples."""
+    from mv2d_tpu.ops.pallas_dcn import pallas_dcn_conv
+    np.random.seed(3)
+    V, H, W, C, F = 2, 32, 88, 128, 64
+    Ho, Wo = H // stride, W // stride
+    x = jnp.asarray(np.random.randn(V, H, W, C).astype(np.float32))
+    ky, kx = np.meshgrid(np.arange(3), np.arange(3), indexing='ij')
+    base_y = (np.arange(Ho) * stride - 1)[:, None, None] + ky.reshape(-1)
+    base_x = (np.arange(Wo) * stride - 1)[None, :, None] + kx.reshape(-1)
+    off = np.random.randn(V, Ho, Wo, 9, 2) * 3.0
+    off[0, 2, 3, 1] = (25.0, -30.0)     # force overflow fallbacks
+    off[1, 10, 40, 7] = (-22.0, 28.0)
+    sy = jnp.asarray((base_y[None] + off[..., 0]).astype(np.float32))
+    sx = jnp.asarray((base_x[None] + off[..., 1]).astype(np.float32))
+    m = jnp.asarray(np.random.rand(V, Ho, Wo, 9).astype(np.float32))
+    w = jnp.asarray(np.random.randn(9, C, F).astype(np.float32)) * 0.05
+    ref = jnp.einsum(
+        'vhwq,qf->vhwf',
+        pallas_dcn_samples(x, sy, sx, m, stride=stride, interpret=True),
+        w.reshape(9 * C, F))
+    out = pallas_dcn_conv(x, sy, sx, m, w, stride=stride, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -99,7 +99,9 @@ def main():
             lambda s: jnp.zeros(s.shape, jnp.bfloat16),
             jax.eval_shape(mod.init, jax.random.PRNGKey(0), x))
         fn = jax.jit(lambda p, y: mod.apply(p, y))
-        timed(fn, params, x, name='DCNv2 3x3 256ch @ 32x88 x12')
+        timed(fn, params, x, name='DCNv2 3x3 256ch @ 32x88 x12 (gather)')
+        fnp = jax.jit(lambda p, y: mod.apply(p, y, use_pallas=True))
+        timed(fnp, params, x, name='DCNv2 3x3 256ch @ 32x88 x12 (band)')
 
     if which in ('resnet', 'all'):
         from mv2d_tpu.nn.resnet import ResNet

@@ -124,15 +124,24 @@ def main():
 
     if 'masks' in pieces:
         def masks_fn(b, v, ci, cm):
+            # mirrors the deployed key-column-first path (models/mv2d.py)
             in_roi = in_roi_pixel_masks(b, v, (h, w), cfg.stride,
                                         cfg.correlation.expand_stride)
             A = adjacency_from_correlation(ci, cm, R)
-            M = query_pixel_masks(A, in_roi)
-            union = M.any(axis=0)
+            qact = A.any(axis=0).reshape(V, P)
+            union = (in_roi & qact[:, :, None]).any(axis=1).reshape(-1)
             key_idx, key_active = gather_active_keys(union, cfg.k_max)
             keys = p4.reshape(V * h * w, C)[key_idx]
             key_pos = pos.reshape(V * h * w, C)[key_idx]
-            cross = M[:, key_idx] & key_active[None]
+            vk = key_idx // (h * w)
+            ik = key_idx % (h * w)
+            G = in_roi[:, :, ik] & (jnp.arange(V)[:, None, None]
+                                    == vk[None, None, :])
+            hits = jnp.einsum('rvp,vpk->rk',
+                              A.reshape(R, V, P).astype(jnp.bfloat16),
+                              G.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            cross = (hits > 0.5) & key_active[None]
             return keys, key_pos, cross
         timed(jax.jit(masks_fn), boxes, valid, corr_ids, corr_mask,
               name='pixel masks + key gather')
