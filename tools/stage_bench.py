@@ -77,7 +77,7 @@ def main():
         ['feats', 'detect', 'pe', 'head', 'full']
 
     def feats_fn(v, i):
-        return model.apply(v, i, method=MV2D.extract_feats)
+        return model.apply(v, i, True, method=MV2D.extract_feats)
 
     feats_j = jax.jit(feats_fn)
     fpn_feats, p4 = feats_j(variables, imgs)
