@@ -29,7 +29,6 @@ from ..core import boxes as box_utils
 from ..core.coder import nms_free_decode
 from ..core.geometry import CameraParams, normalize_points, virtual_intrinsics
 from ..core.nms import box3d_multiclass_nms
-from ..ops.roi_align import roi_align
 from .correlation import (CorrelationConfig, adjacency_from_correlation,
                           epipolar_in_box, gather_active_keys,
                           in_roi_pixel_masks, query_pixel_masks)
@@ -259,18 +258,16 @@ class MV2D(nn.Module):
         # training-path gather transient stays bounded
         # Separable two-matmul align over the shared p4 tile (4.6 ms vs
         # 18.6 ms gather / 23.9 ms slab kernel at 900 RoIs x 512 ch, see
-        # docs/PERF.md).  Exact roi_align semantics, differentiable.
+        # docs/PERF.md).  Exact roi_align semantics; differentiable with a
+        # dense-matmul backward (the gather align's backward is a
+        # descriptor-bound scatter-add), so training uses it too - the
+        # AD-kept [V, P, O, H, C] transient is ~200 MB at recipe shapes.
         cat = jnp.concatenate([p4, pos], axis=-1)
-        if deterministic:
-            from ..ops.roi_align import separable_roi_align_views
-            roi_feats = separable_roi_align_views(
-                cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=2)
-            roi_feats = roi_feats.reshape(R, c.roi_size, c.roi_size,
-                                          cat.shape[-1])
-        else:
-            # training: chunked gather bounds the AD-kept transient
-            roi_feats = roi_align(cat, flat_boxes, view_idx, 1.0 / c.stride,
-                                  c.roi_size, sampling_ratio=2, chunk=512)
+        from ..ops.roi_align import separable_roi_align_views
+        roi_feats = separable_roi_align_views(
+            cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=2)
+        roi_feats = roi_feats.reshape(R, c.roi_size, c.roi_size,
+                                      cat.shape[-1])
         bbox_feats, roi_pe = jnp.split(roi_feats, 2, axis=-1)
 
         ref_pts, _ = self.query_generator(bbox_feats, Kv,
