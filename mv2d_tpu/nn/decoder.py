@@ -52,11 +52,14 @@ class MHA(nn.Module):
         kp = nn.Dense(self.embed_dims, name='k_proj')(k)
         vp = nn.Dense(self.embed_dims, name='v_proj')(v)
         from ..ops import pallas_enabled
-        if (self.use_flash and deterministic and allowed is not None
+        if (self.use_flash and allowed is not None
                 and q.shape[0] == 1 and allowed.ndim == 3
                 and pallas_enabled()):
             # real-TPU only: interpret-mode flash on CPU is far slower than
-            # the XLA attention (the kernel itself is tested via interpret)
+            # the XLA attention (the kernel itself is tested via interpret).
+            # Training uses it too: the custom VJP keeps the backward out of
+            # HBM as well (neither path applies attention dropout; the proj
+            # dropout below is outside the kernel)
             from ..ops.pallas_attention import masked_flash_attention
             # bf16 panels keep the kernel inside the 16 MB VMEM budget
             out = masked_flash_attention(

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,18 +53,12 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
         o_ref[h] = (out / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
-def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                           allowed: jnp.ndarray, num_heads: int,
-                           block_q: int = 64, block_k: int = 1024,
-                           interpret: bool | None = None) -> jnp.ndarray:
-    """q: [Q, C]; k, v: [K, C]; allowed: [Q, K] bool -> [Q, C].
+def _split_heads(x, P, H, D):
+    n = x.shape[0]
+    return jnp.pad(x, ((0, P - n), (0, 0))).reshape(P, H, D).transpose(1, 0, 2)
 
-    Pads Q and K to block multiples; padded keys are masked out, padded
-    queries discarded.  block_k is accepted for call compatibility (key
-    blocking is no longer needed - logits stay VMEM-resident per head).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+
+def _pack(q, k, v, allowed, num_heads, block_q):
     Q, C = q.shape
     K = k.shape[0]
     H = num_heads
@@ -71,13 +66,16 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     BQ = min(block_q, max(8, Q))
     Qp = -(-Q // BQ) * BQ
     Kp = -(-K // 128) * 128
-    qh = jnp.pad(q, ((0, Qp - Q), (0, 0))).reshape(Qp, H, D)
-    qh = qh.transpose(1, 0, 2)                                  # [H, Qp, D]
-    kh = jnp.pad(k, ((0, Kp - K), (0, 0))).reshape(Kp, H, D).transpose(1, 0, 2)
-    vh = jnp.pad(v, ((0, Kp - K), (0, 0))).reshape(Kp, H, D).transpose(1, 0, 2)
+    qh = _split_heads(q, Qp, H, D)                              # [H, Qp, D]
+    kh = _split_heads(k, Kp, H, D)
+    vh = _split_heads(v, Kp, H, D)
     msk = jnp.pad(allowed.astype(jnp.bfloat16), ((0, Qp - Q), (0, Kp - K)))
+    return qh, kh, vh, msk, (Q, K, H, D, BQ, Qp, Kp)
 
-    out = pl.pallas_call(
+
+def _fwd_call(qh, kh, vh, msk, dims, interpret):
+    Q, K, H, D, BQ, Qp, Kp = dims
+    return pl.pallas_call(
         functools.partial(_kernel, heads=H, scale=1.0 / (D ** 0.5)),
         grid=(Qp // BQ,),
         in_specs=[
@@ -92,9 +90,147 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((H, BQ, D), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, Qp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, Qp, D), qh.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qh, kh, vh, msk)
-    return out.transpose(1, 0, 2).reshape(Qp, C)[:Q]
+
+
+def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           allowed: jnp.ndarray, num_heads: int,
+                           block_q: int = 64, block_k: int = 1024,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """q: [Q, C]; k, v: [K, C]; allowed: [Q, K] bool -> [Q, C].
+
+    Pads Q and K to block multiples; padded keys are masked out, padded
+    queries discarded.  block_k is accepted for call compatibility (key
+    blocking is no longer needed - logits stay VMEM-resident per head).
+
+    Differentiable: a custom VJP routes the backward pass through a flash
+    backward kernel (softmax recompute per q-block, dK/dV accumulated in
+    VMEM across the sequential grid) so training never materializes the
+    [H, Q, K] logits in HBM either.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _flash(q, k, v, allowed, num_heads, block_q, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, allowed, num_heads, block_q, interpret):
+    qh, kh, vh, msk, dims = _pack(q, k, v, allowed, num_heads, block_q)
+    Q, K, H, D, BQ, Qp, Kp = dims
+    out = _fwd_call(qh, kh, vh, msk, dims, interpret)
+    return out.transpose(1, 0, 2).reshape(Qp, H * D)[:Q]
+
+
+def _flash_fwd(q, k, v, allowed, num_heads, block_q, interpret):
+    return (_flash(q, k, v, allowed, num_heads, block_q, interpret),
+            (q, k, v, allowed))
+
+
+def _bwd_kernel(q_ref, kt_ref, vt_ref, mask_ref, do_ref,
+                dq_ref, dkt_ref, dvt_ref, *, heads: int, scale: float,
+                nblocks: int):
+    # Grid (H/hg, nblocks): head groups OUTERMOST, q-blocks innermost.
+    # q/do blocks: [hg, BQ, D]; K/V arrive TRANSPOSED [hg, D, K] so every
+    # K-sized buffer keeps K on the 128-lane axis (a [K, 32] layout pads
+    # 32 lanes to 128: 4x the VMEM); it also makes dK/dV plain
+    # [D, BQ]x[BQ, K] MXU dots with no big in-kernel transposes.
+    # dkt/dvt output windows are constant over the inner (q-block) dim:
+    # the f32 blocks stay VMEM resident across it and act as accumulators,
+    # flushed when the head group advances.  Only hg heads' [BQ, K]
+    # transients (P, dP, dS) are live per step - the all-heads-in-kernel
+    # [K, D]-layout form needs ~230 MB of VMEM at K=16384.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dkt_ref[:] = jnp.zeros_like(dkt_ref)
+        dvt_ref[:] = jnp.zeros_like(dvt_ref)
+
+    msk = mask_ref[:].astype(jnp.float32)            # [BQ, K]
+    bias = (msk - 1.0) * (-_NEG)
+    for h in range(heads):
+        q = q_ref[h].astype(jnp.float32) * scale     # [BQ, D] (scale folded)
+        kt = kt_ref[h].astype(jnp.float32)           # [D, K]
+        vt = vt_ref[h].astype(jnp.float32)
+        do = do_ref[h].astype(jnp.float32)           # [BQ, D]
+        logits = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [BQ, K]
+        logits = logits * msk + bias
+        m = logits.max(-1, keepdims=True)
+        p = jnp.exp(logits - m) * msk
+        l = jnp.maximum(p.sum(-1, keepdims=True), 1e-20)
+        P = p / l                                    # softmax probs
+        dP = jax.lax.dot_general(
+            do, vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [BQ, K]
+        delta = (P * dP).sum(-1, keepdims=True)      # rowsum(P o dP)
+        dS = P * (dP - delta)                        # [BQ, K]
+        dq_ref[h] = (jax.lax.dot_general(
+            dS, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dkt_ref[h] += jax.lax.dot_general(
+            q, dS, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (q*scale)^T @ dS
+        dvt_ref[h] += jax.lax.dot_general(
+            do, P, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # dO^T @ P
+
+
+def _flash_bwd(num_heads, block_q, interpret, res, g):
+    q, k, v, allowed = res
+    # smaller q-blocks than the forward: the backward holds several [BQ, K]
+    # f32 transients (P, dP, dS + MXU transposes) at once
+    qh, kh, vh, msk, dims = _pack(q, k, v, allowed, num_heads,
+                                  min(block_q, 32))
+    Q, K, H, D, BQ, Qp, Kp = dims
+    gh = _split_heads(g.astype(q.dtype), Qp, H, D)
+    kt = kh.transpose(0, 2, 1)      # [H, D, Kp]: K on the lane axis
+    vt = vh.transpose(0, 2, 1)
+    hg = 2 if H % 2 == 0 else 1     # heads per grid step
+    dq, dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=hg, scale=1.0 / (D ** 0.5),
+                          nblocks=Qp // BQ),
+        grid=(H // hg, Qp // BQ),
+        in_specs=[
+            pl.BlockSpec((hg, BQ, D), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg, D, Kp), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg, D, Kp), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ, Kp), lambda h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg, BQ, D), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((hg, BQ, D), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg, D, Kp), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg, D, Kp), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, Qp, D), q.dtype),
+            jax.ShapeDtypeStruct((H, D, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((H, D, Kp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qh, kt, vt, msk, gh)
+
+    dq_m = dq.transpose(1, 0, 2).reshape(-1, H * D)[:Q].astype(q.dtype)
+    dk_m = dkt.transpose(2, 0, 1).reshape(-1, H * D)[:K].astype(k.dtype)
+    dv_m = dvt.transpose(2, 0, 1).reshape(-1, H * D)[:K].astype(v.dtype)
+    d_allowed = np.zeros(allowed.shape, dtype=jax.dtypes.float0)
+    return (dq_m, dk_m, dv_m, d_allowed)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)

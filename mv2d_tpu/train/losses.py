@@ -110,16 +110,23 @@ def mv2d_head_loss(out: ForwardOutputs, gt: GroundTruth3D, cfg: MV2DConfig
     gt_code = normalize_bbox(gravity)
     losses: Dict[str, jnp.ndarray] = {}
     L = out.all_cls_scores.shape[0]
+    # the per-layer matchings are independent: vmap over layers batches the
+    # cost matmuls AND the sequential JV augmenting loops (total while_loop
+    # trips = max over layers instead of their sum)
+    ll = jax.vmap(
+        lambda cs, bp: single_layer_loss(cs, bp, out.query_valid, gt_code,
+                                         gt.labels, gt.valid,
+                                         cfg.num_classes))(
+        out.all_cls_scores, out.all_bbox_preds)
+    if out.dn_cls_scores is not None:
+        dl = jax.vmap(
+            lambda cs, bp: dn_layer_loss(cs, bp, out.dn_info, cfg))(
+            out.dn_cls_scores, out.dn_bbox_preds)
     for lvl in range(L):
         lw = cfg.stage_loss_weights[lvl]
-        ll = single_layer_loss(out.all_cls_scores[lvl],
-                               out.all_bbox_preds[lvl], out.query_valid,
-                               gt_code, gt.labels, gt.valid, cfg.num_classes)
-        losses[f'l{lvl}.loss_cls'] = ll.loss_cls * lw
-        losses[f'l{lvl}.loss_bbox'] = ll.loss_bbox * lw
+        losses[f'l{lvl}.loss_cls'] = ll.loss_cls[lvl] * lw
+        losses[f'l{lvl}.loss_bbox'] = ll.loss_bbox[lvl] * lw
         if out.dn_cls_scores is not None:
-            dl = dn_layer_loss(out.dn_cls_scores[lvl],
-                               out.dn_bbox_preds[lvl], out.dn_info, cfg)
-            losses[f'l{lvl}.dn_loss_cls'] = dl.loss_cls * lw
-            losses[f'l{lvl}.dn_loss_bbox'] = dl.loss_bbox * lw
+            losses[f'l{lvl}.dn_loss_cls'] = dl.loss_cls[lvl] * lw
+            losses[f'l{lvl}.dn_loss_bbox'] = dl.loss_bbox[lvl] * lw
     return losses

@@ -22,3 +22,31 @@ def test_flash_matches_xla(rng, Q, K, C, H):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(out)[0], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize('Q,K,C,H', [(32, 256, 64, 4), (50, 300, 32, 2)])
+def test_flash_vjp_matches_xla_grads(rng, Q, K, C, H):
+    q = jnp.asarray(rng.normal(size=(Q, C)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    allowed = rng.uniform(size=(Q, K)) > 0.6
+    allowed[0, :] = False          # fully-masked row
+    allowed[1, :] = True
+    allowed = jnp.asarray(allowed)
+    w = jnp.asarray(rng.normal(size=(Q, C)), dtype=jnp.float32)
+
+    def loss_ref(q, k, v):
+        out = xla_attn.multi_head_attention(q[None], k[None], v[None], H,
+                                            allowed[None])[0]
+        return (out * w).sum()
+
+    def loss_flash(q, k, v):
+        out = masked_flash_attention(q, k, v, allowed, H, block_q=16,
+                                     interpret=True)
+        return (out * w).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, nm in zip(g_fl, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3, err_msg=nm)
