@@ -127,6 +127,175 @@ def _kernel_conv(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, w_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _kernel_samples_bwd(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref,
+                        ds_ref, dband_ref, dsy_ref, dsx_ref, dm_ref,
+                        band, sem, *, nb: int, bh: int, ww: int,
+                        stride: int, h_in: int, wp_in: int):
+    """Adjoint of _kernel_samples: the same band algebra transposed.
+
+    ds_ref: [1, 9, RB*SW, C] upstream sample grads (fwd output layout);
+    dband_ref: [1, bh, Wp, C] f32 - CONSTANT index over the segment dim, so
+    the block accumulates the per-segment dX windows in VMEM and is flushed
+    once per row block (overlapping windows between segments overlap-add
+    here; overlapping BANDS between row blocks overlap-add in XLA outside);
+    dsy/dsx/dm_ref: [1, 1, 1, Q] per-sample coordinate/modulation grads.
+
+    Coordinate grads use the FLOOR-form bilinear derivative (-1 at the
+    floor cell, +1 at floor+1) rather than the hat-sign form: they differ
+    exactly at integer coordinates, where the offset branch starts
+    (zero-init offsets => all-integer coords), and the floor form is what
+    the XLA gather path (ops/dcn._dense_bilinear) differentiates to."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    C = band.shape[-1]
+    v = i // nb
+    rb = i % nb
+    y0 = jnp.clip(rb * RB * stride - 8, 0, max(h_in - bh, 0))
+
+    @pl.when(s == 0)
+    def _load_band():
+        cp = pltpu.make_async_copy(x_ref.at[v, pl.ds(y0, bh)], band, sem)
+        cp.start()
+        cp.wait()
+        dband_ref[:] = jnp.zeros_like(dband_ref)
+
+    xw0 = pl.multiple_of(
+        jnp.clip(s * SW * stride - 8, 0, max(wp_in - ww, 0)), 8)
+    ys = sy_ref[0, 0]                                  # [1, Q]
+    xs = sx_ref[0, 0]
+    mm = m_ref[0, 0]
+    cy = cy_ref[:, :1]                                 # [J, 1]
+    cx = cx_ref[:, :1]
+    hy = jnp.maximum(1.0 - jnp.abs(cy - ys), 0.0)      # [J, Q]
+    hx = jnp.maximum(1.0 - jnp.abs(cx - xs), 0.0)
+    w2dt = hy * hx * mm
+
+    dsm = ds_ref[0].reshape(9 * RB * SW, C).astype(jnp.float32)  # [Q, C]
+    # dX window: dWin[j, c] = sum_q W2D[j, q] dS[q, c] - one MXU dot
+    dwin = jax.lax.dot_general(
+        w2dt, dsm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [J, C]
+    dband_ref[0, :, pl.ds(xw0, ww), :] += dwin.reshape(bh, ww, C)
+
+    # dW2D[j, q] = sum_c Win[j, c] dS[q, c] - one MXU dot
+    win = band[:, pl.ds(xw0, ww), :].reshape(bh * ww, C).astype(jnp.float32)
+    dw2d = jax.lax.dot_general(
+        win, dsm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [J, Q]
+    f0y = jnp.floor(ys)
+    f0x = jnp.floor(xs)
+    dhy = ((cy == f0y + 1.0).astype(jnp.float32)
+           - (cy == f0y).astype(jnp.float32))          # [J, Q]
+    dhx = ((cx == f0x + 1.0).astype(jnp.float32)
+           - (cx == f0x).astype(jnp.float32))
+    dm_ref[0, 0, 0] = (hy * hx * dw2d).sum(0)
+    dsy_ref[0, 0, 0] = (dhy * hx * dw2d).sum(0) * mm[0]
+    dsx_ref[0, 0, 0] = (hy * dhx * dw2d).sum(0) * mm[0]
+
+
+def _run_samples_bwd(xp, psy, psx, pm, ds, stride, bh, ww, interpret):
+    """ds: [G, 9, NSg*64, C] -> (dbands [G, bh, Wp, C] f32,
+    dpsy/dpsx/dpm [G, NSg, 1, Q] f32)."""
+    V_, Hp, Wp, C = xp.shape
+    G, nsg = psy.shape[0], psy.shape[1]
+    Q = 9 * RB * SW
+    cy, cx = _cell_coords(bh, ww)
+    J = bh * ww
+    coord_spec = pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_samples_bwd, nb=G // V_, bh=bh, ww=ww,
+                          stride=stride, h_in=Hp, wp_in=Wp),
+        grid=(G, nsg),
+        in_specs=[pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, 9, RB * SW, C),
+                               lambda i, s: (i, 0, s, 0))],
+        out_specs=[pl.BlockSpec((1, bh, Wp, C), lambda i, s: (i, 0, 0, 0)),
+                   coord_spec, coord_spec, coord_spec],
+        out_shape=[jax.ShapeDtypeStruct((G, bh, Wp, C), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bh, Wp, C), xp.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(cy, cx, xp, psy, psx, pm, ds)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_band_sample(stride, bh, ww, interpret):
+    """Differentiable band sampling over the PACKED inputs: the geometry
+    (pad/clip/mask-fold/packing) stays plain XLA so its VJP is automatic;
+    only the stencil kernel itself carries the custom VJP."""
+
+    @jax.custom_vjp
+    def f(xp, psy, psx, pm):
+        return _run_samples(xp, psy, psx, pm, stride, bh, ww, interpret)
+
+    def fwd(xp, psy, psx, pm):
+        return f(xp, psy, psx, pm), (xp, psy, psx, pm)
+
+    def bwd(res, g):
+        xp, psy, psx, pm = res
+        V_, Hp, Wp, C = xp.shape
+        G = psy.shape[0]
+        nb = G // V_
+        dbands, dpsy, dpsx, dpm = _run_samples_bwd(
+            xp, psy, psx, pm, g.astype(xp.dtype), stride, bh, ww,
+            interpret)
+        # overlap-add the per-row-block band grads (band origins are
+        # static python ints: nb static slice adds, no scatter)
+        dbands = dbands.reshape(V_, nb, bh, Wp, C)
+        dxp = jnp.zeros((V_, Hp, Wp, C), jnp.float32)
+        for rb in range(nb):
+            y0 = min(max(rb * RB * stride - 8, 0), max(Hp - bh, 0))
+            dxp = dxp.at[:, y0:y0 + bh].add(dbands[:, rb])
+        return (dxp.astype(xp.dtype), dpsy.astype(psy.dtype),
+                dpsx.astype(psx.dtype), dpm.astype(pm.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dcn_modulated_samples(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                          m: jnp.ndarray, stride: int = 1,
+                          overflow_bucket: int = 2048,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """DIFFERENTIABLE band-kernel DCN sampling (training path).
+
+    Same contract as pallas_dcn_samples - x: [V, H, W, C], sy/sx/m:
+    [V, Ho, Wo, 9] -> modulated bilinear samples [V, Ho, Wo, 9*C]
+    (tap-major) - but with gradients to x, sy, sx and m: the forward is
+    the stencil-panel band kernel, the backward one transposed band kernel
+    (dX and dW2D are one MXU dot per segment each).  The out-of-band
+    overflow path is plain XLA gather/scatter, so autodiff covers it."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    xp, psy, psx, pm, dims, over_info = _geometry(x, sy, sx, m, stride)
+    V, C = dims['V'], dims['C']
+    Ho, Wo, nb, nsg = dims['Ho'], dims['Wo'], dims['nb'], dims['nsg']
+    Hop, Wop = dims['Hop'], dims['Wop']
+    samples = _make_band_sample(stride, dims['bh'], dims['ww'], interpret)(
+        xp, psy, psx, pm)
+    samples = samples.reshape(V, nb, 9, nsg, RB, SW, C)
+    samples = samples.transpose(0, 1, 4, 3, 5, 2, 6)
+    samples = samples.reshape(V, Hop, Wop, 9, C)[:, :Ho, :Wo]
+
+    if overflow_bucket > 0:
+        sel, flat_over, P = _overflow_select(dims, over_info,
+                                             overflow_bucket)
+        vals = _overflow_values(x, dims, over_info, sel, flat_over)
+        flat = samples.reshape(P, C)
+        flat = flat.at[sel].add(vals.astype(flat.dtype), mode='drop')
+        samples = flat.reshape(V, Ho, Wo, 9, C)
+    return samples.reshape(V, Ho, Wo, 9 * C)
+
+
 def _cell_coords(bh, ww):
     J = bh * ww
     jj = np.arange(J)

@@ -102,3 +102,44 @@ def test_conv_kernel_matches_einsum(stride):
     out = pallas_dcn_conv(x, sy, sx, m, w, stride=stride, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('stride,shape,off_scale', [
+    (1, (2, 16, 24, 128), 2.0),
+    (2, (2, 32, 24, 128), 3.0),
+    (1, (2, 16, 24, 128), 0.0),   # zero-init offsets: integer coords
+])
+def test_band_sampling_grads_match_gather(stride, shape, off_scale):
+    """dcn_modulated_samples custom VJP vs autodiff of the XLA gather path
+    (incl. the integer-coordinate case the offset conv starts at)."""
+    np.random.seed(2)
+    V, H, W, C = shape
+    Ho, Wo = H // stride, W // stride
+    x = jnp.asarray(np.random.randn(V, H, W, C).astype(np.float32))
+    ky, kx = np.meshgrid(np.arange(3), np.arange(3), indexing='ij')
+    base_y = (np.arange(Ho) * stride - 1)[:, None, None] + ky.reshape(-1)
+    base_x = (np.arange(Wo) * stride - 1)[None, :, None] + kx.reshape(-1)
+    off = np.random.randn(V, Ho, Wo, 9, 2) * off_scale
+    # a couple of out-of-band samples exercise the overflow grads
+    if off_scale:
+        off[0, 1, 2, 3] = (14.0, -17.0)
+        off[1, 3, 5, 7] = (-12.0, 19.0)
+    sy = jnp.asarray((base_y[None] + off[..., 0]).astype(np.float32))
+    sx = jnp.asarray((base_x[None] + off[..., 1]).astype(np.float32))
+    m = jnp.asarray(np.random.rand(V, Ho, Wo, 9).astype(np.float32))
+    g = jnp.asarray(np.random.randn(V, Ho, Wo, 9 * C).astype(np.float32))
+
+    from mv2d_tpu.ops.pallas_dcn import dcn_modulated_samples
+
+    def loss_ref(x, sy, sx, m):
+        return (_xla_samples(x, sy, sx, m) * g).sum()
+
+    def loss_band(x, sy, sx, m):
+        return (dcn_modulated_samples(x, sy, sx, m, stride=stride,
+                                      interpret=True) * g).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, sy, sx, m)
+    gb = jax.grad(loss_band, argnums=(0, 1, 2, 3))(x, sy, sx, m)
+    for a, b, nm in zip(gb, gr, ['dx', 'dsy', 'dsx', 'dm']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)

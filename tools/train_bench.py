@@ -24,6 +24,9 @@ def main():
     p.add_argument('--image-h', type=int, default=512)
     p.add_argument('--image-w', type=int, default=1408)
     p.add_argument('--no-remat', action='store_true')
+    p.add_argument('--no-dcn', action='store_true',
+                   help='plain convs in stages 3-4 (attributes the DCN '
+                        'fwd+bwd cost inside the train step)')
     p.add_argument('--iters', type=int, default=10)
     args = p.parse_args()
 
@@ -40,7 +43,9 @@ def main():
     from __graft_entry__ import _rig
 
     cfg = configs.mv2d_t_r50(image_size=(args.image_h, args.image_w),
-                             remat=not args.no_remat)
+                             remat=not args.no_remat,
+                             **({'stage_with_dcn': (False,) * 4}
+                                if args.no_dcn else {}))
     V = cfg.total_views
     K, E = _rig(V, cfg.image_size)
     cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
