@@ -80,6 +80,11 @@ class MV2DConfig(NamedTuple):
     stage_loss_weights: Tuple[float, ...] = (0.1,) * 6
     complement_2d_gt: float = 0.4
     remat: bool = False
+    # decoder-layer remat, separate from the backbone: with the flash
+    # custom VJP the decoder's saved activations are tiny ([Q, C] per
+    # layer - the kernel re-derives its own internals in the backward),
+    # so rematting it only buys a full decoder forward recompute
+    remat_decoder: bool = False
     use_flash_attention: bool = False   # Pallas kernel for eval cross-attn
 
     @property
@@ -168,7 +173,7 @@ class MV2D(nn.Module):
             num_classes=c.num_classes, embed_dims=c.embed_dims,
             num_layers=c.num_decoder_layers, num_heads=c.num_heads,
             feedforward_channels=c.feedforward_channels, dropout=c.dropout,
-            pc_range=c.pc_range, remat=c.remat,
+            pc_range=c.pc_range, remat=c.remat_decoder,
             use_flash=c.use_flash_attention)
 
     # ------------------------------------------------------------ features
