@@ -98,10 +98,12 @@ class PETRDecoderLayer(nn.Module):
         """query/query_pos: [Q, C]; keys/key_pos: [K, C] (pixel mode) or
         [Q, Kq, C] (roi mode); self_allowed: [Q, Q] or None;
         cross_allowed: [Q, K] or [Q, Kq]."""
-        # --- global self attention over all queries (one folded sequence)
+        # --- global self attention over all queries (one folded sequence);
+        # use_flash only engages when a mask exists (the DN block mask in
+        # training) - eval's mask-free self-attn stays on the XLA path
         qs = (query + query_pos)[None]
         sa = MHA(self.embed_dims, self.num_heads, self.dropout, self.dropout,
-                 name='self_attn')(
+                 use_flash=self.use_flash, name='self_attn')(
             qs, qs, query[None],
             None if self_allowed is None else self_allowed[None],
             deterministic)[0]

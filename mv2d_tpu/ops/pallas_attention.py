@@ -183,10 +183,7 @@ def _bwd_kernel(q_ref, kt_ref, vt_ref, mask_ref, do_ref,
 
 def _flash_bwd(num_heads, block_q, interpret, res, g):
     q, k, v, allowed = res
-    # smaller q-blocks than the forward: the backward holds several [BQ, K]
-    # f32 transients (P, dP, dS + MXU transposes) at once
-    qh, kh, vh, msk, dims = _pack(q, k, v, allowed, num_heads,
-                                  min(block_q, 32))
+    qh, kh, vh, msk, dims = _pack(q, k, v, allowed, num_heads, block_q)
     Q, K, H, D, BQ, Qp, Kp = dims
     gh = _split_heads(g.astype(q.dtype), Qp, H, D)
     kt = kh.transpose(0, 2, 1)      # [H, D, Kp]: K on the lane axis
