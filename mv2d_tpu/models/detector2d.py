@@ -102,9 +102,13 @@ class TwoStageDetector(nn.Module):
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
                 output_size=7, sampling_ratio=2)
         else:
+            # chunk > R kills the lax.map while-loop: its AD-time copies /
+            # pads / dynamic-update-slices cost more than the one-chunk
+            # gather transient (RoIs are stop-gradient, so the gathered
+            # cells are not live into the backward)
             roi_feats = multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2)
+                output_size=7, sampling_ratio=2, chunk=16384)
         return self.bbox_head(roi_feats)
 
     def detect(self, feats: Sequence[jnp.ndarray],

@@ -27,6 +27,9 @@ def main():
     p.add_argument('--no-dcn', action='store_true',
                    help='plain convs in stages 3-4 (attributes the DCN '
                         'fwd+bwd cost inside the train step)')
+    p.add_argument('--no-dn', action='store_true',
+                   help='disable DN denoising (attributes the DN query '
+                        'pad + dn-loss cost)')
     p.add_argument('--iters', type=int, default=10)
     args = p.parse_args()
 
@@ -45,7 +48,9 @@ def main():
     cfg = configs.mv2d_t_r50(image_size=(args.image_h, args.image_w),
                              remat=not args.no_remat,
                              **({'stage_with_dcn': (False,) * 4}
-                                if args.no_dcn else {}))
+                                if args.no_dcn else {}),
+                             **({'use_denoise': False}
+                                if args.no_dn else {}))
     V = cfg.total_views
     K, E = _rig(V, cfg.image_size)
     cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
