@@ -428,14 +428,31 @@ def _overflow_select(dims, over_info, overflow_bucket):
     P = V * Ho * Wo * 9
     K = min(overflow_bucket, P)
     flat_over = over.reshape(P)
-    # stable compaction of the (rare) overflow indices without a sort:
-    # position by cumsum, scatter into a K-slot buffer (drops past K).
-    # Unused slots keep the P sentinel so the final scatter-add drops
-    # them (a 0 sentinel would duplicate-add sample 0).
-    pos = jnp.cumsum(flat_over) - 1
-    sel = jnp.full((K,), P, jnp.int32).at[
-        jnp.where(flat_over, pos, K)].set(
-        jnp.arange(P, dtype=jnp.int32), mode='drop')
+    # stable compaction of the (rare) overflow indices WITHOUT a scatter:
+    # a P-update scatter into the K-slot buffer is descriptor-bound on TPU
+    # (~1.4 ms at P=304k).  Gather formulation instead: chunk the mask into
+    # lanes-wide rows, per-chunk inclusive cumsum + chunk-base prefix, then
+    # for each output slot j find (chunk, column) of the j-th set bit with
+    # dense compares.  Unused slots keep the P sentinel so the final
+    # scatter-add drops them (a 0 sentinel would duplicate-add sample 0).
+    S = 512
+    ncp = -(-P // S) * S
+    m = jnp.pad(flat_over, (0, ncp - P)).reshape(-1, S)
+    within = jnp.cumsum(m.astype(jnp.int32), axis=1)        # [NCH, S]
+    counts = within[:, -1]                                  # [NCH]
+    end = jnp.cumsum(counts)
+    base = end - counts                                     # exclusive
+    j = jnp.arange(K, dtype=jnp.int32)
+    # chunk holding the j-th set bit: first chunk with end > j
+    chunk_id = jnp.sum((end[None, :] <= j[:, None]).astype(jnp.int32),
+                       axis=1)
+    chunk_id = jnp.minimum(chunk_id, m.shape[0] - 1)
+    r = j - base[chunk_id]
+    rows = within[chunk_id]                                 # [K, S]
+    # first column with cumsum == r+1  <=>  count of columns with <= r
+    col = jnp.sum((rows <= r[:, None]).astype(jnp.int32), axis=1)
+    idx = chunk_id * S + jnp.minimum(col, S - 1)
+    sel = jnp.where(j < end[-1], idx, P).astype(jnp.int32)
     return sel, flat_over, P
 
 
