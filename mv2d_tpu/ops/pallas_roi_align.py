@@ -32,6 +32,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
+                            Hs: Sequence[int], Ws: Sequence[int],
+                            strides: Sequence[int], rois: jnp.ndarray,
+                            lvl: jnp.ndarray, view: jnp.ndarray,
+                            O: int, S: int) -> jnp.ndarray:
+    """Exact XLA-gather RoIAlign for the K overflow RoIs, reading the SAME
+    level-stacked [V, Hslab, Wmax, C] buffer the Pallas kernel uses (flat
+    row (v, l, y, x) = (v*Hslab + row_off[l] + y)*Wmax + x).  Avoids
+    materializing a second flattened copy of every FPN level (~2 ms at
+    full size) just for <=256 RoIs.  NOTE: 4 single-row gathers - a
+    slice_sizes=(2, C) x-pair gather lowers to a per-row while loop on
+    TPU (~240 ms), not a wide-descriptor gather."""
+    V, Hslab, Wmax, C = stacked.shape
+    tbl = stacked.reshape(V * Hslab * Wmax, C)
+    K = rois.shape[0]
+    sc = jnp.asarray([1.0 / s for s in strides], rois.dtype)[lvl][:, None]
+    H = jnp.asarray(Hs)[lvl][:, None]
+    W = jnp.asarray(Ws)[lvl][:, None]
+    base = (view * Hslab + jnp.asarray(row_offs)[lvl]) * Wmax    # [K]
+    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None] + 0.5) / S)
+    grid = grid.reshape(-1)                                      # [O*S]
+    x1 = rois[:, 0:1] * sc - 0.5
+    y1 = rois[:, 1:2] * sc - 0.5
+    bw = (rois[:, 2:3] - rois[:, 0:1]) * sc / O
+    bh = (rois[:, 3:4] - rois[:, 1:2]) * sc / O
+    xs = x1 + grid[None] * bw                                    # [K, O*S]
+    ys = y1 + grid[None] * bh
+    X = jnp.broadcast_to(xs[:, None, :], (K, O * S, O * S)).reshape(K, -1)
+    Y = jnp.broadcast_to(ys[:, :, None], (K, O * S, O * S)).reshape(K, -1)
+    Wf = W.astype(X.dtype)
+    Hf = H.astype(X.dtype)
+    inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
+    X = jnp.clip(X, 0.0, Wf - 1)
+    Y = jnp.clip(Y, 0.0, Hf - 1)
+    x0 = jnp.floor(X)
+    y0 = jnp.floor(Y)
+    lx = (X - x0)[..., None]
+    ly = (Y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H.astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0i + 1, W.astype(jnp.int32) - 1)
+
+    def g(yi, xi):
+        return tbl[base[:, None] + yi * Wmax + xi]
+
+    top = (1 - lx) * g(y0i, x0i) + lx * g(y0i, x1i)
+    bot = (1 - lx) * g(y1i, x0i) + lx * g(y1i, x1i)
+    out = (1 - ly) * top + ly * bot
+    out = jnp.where(inside[..., None], out, 0.0)
+    return out.reshape(K, O, S, O, S, C).mean(axis=(2, 4))
+
+
 def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
             bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
             feat_ref, out_ref, patch_scratch, sems, *,
@@ -250,7 +303,6 @@ PASS_SIZES = (16, 32, 64)   # patch rows per pass; cols = rows + 8
 def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
               finest_scale, rois_per_step, patch, overflow_bucket,
               interpret):
-    from .roi_align import multilevel_roi_align
     L = len(feats)
     V, _, _, C = feats[0].shape
     R = rois.shape[0]
@@ -332,12 +384,12 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
         K = min(overflow_bucket, R)
         sel = order[R - K:]
         ov = pass_s[R - K:] == len(PASS_SIZES)
-        # block_layout=False: the 2x2-parity layout costs a 4x copy of every
-        # FPN level (~1.7 GB at full size) - never worth it for K<=256 rois
-        o_small = multilevel_roi_align(feats, rois_s[R - K:],
-                                       view_s[R - K:], strides, output_size,
-                                       sampling_ratio, finest_scale,
-                                       block_layout=False)
+        # gathers from the SAME stacked buffer the kernel reads (a separate
+        # flattened table copy costs ~2 ms at full size for <=256 RoIs)
+        o_small = _overflow_align_stacked(stacked, row_offs, Hs_c, Ws_c,
+                                          strides, rois_s[R - K:],
+                                          lvl_s[R - K:], view_s[R - K:],
+                                          output_size, sampling_ratio)
         o_small = o_small * ov[:, None, None, None]
         out = out.at[sel].add(o_small.astype(out.dtype))
     return out
@@ -490,7 +542,6 @@ def _make_prv(strides, output_size, sampling_ratio, finest_scale,
 
 def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
               finest_scale, rois_per_step, overflow_bucket, interpret):
-    from .roi_align import multilevel_roi_align
     L = len(feats)
     V, _, _, C = feats[0].shape
     P = rois.shape[1]
@@ -613,10 +664,11 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         over = pass_id == npass
         sel = jnp.argsort(~over, stable=True)[:K]
         vi = (sel // P).astype(jnp.int32)
-        # block_layout=False: the 2x2-parity layout copies every FPN level
-        # 4x (~1.7 GB at full size) - never worth it for K<=256 rois
-        o_small = multilevel_roi_align(feats, flat[sel], vi, strides, O, S,
-                                       finest_scale, block_layout=False)
+        # gathers from the SAME stacked slab the kernel reads - a separate
+        # flattened table copy costs ~2 ms at full size for <=256 RoIs
+        o_small = _overflow_align_stacked(stacked, row_offs, Hs_c, Ws_c,
+                                          strides, flat[sel], lvl[sel], vi,
+                                          O, S)
         o_small = o_small * over[sel][:, None, None, None]
         out = out.reshape(R, O, O, C).at[sel].add(
             o_small.astype(out.dtype)).reshape(V, P, O, O, C)
