@@ -126,11 +126,20 @@ class TwoStageDetector(nn.Module):
             # read straight from VMEM - per-RoI patch DMAs are segment-rate
             # bound and XLA gathers descriptor-rate bound)
             from ..ops.pallas_roi_align import pallas_roi_align_views
-            roi_feats = pallas_roi_align_views(
+            # compacted slot order: the R-CNN head is per-roi, so it runs
+            # on the kernel's bucket order and only the small logits /
+            # deltas are un-permuted (the [V, P, 7, 7, C] un-permute
+            # gather moves ~150 MB)
+            roi_feats, pos = pallas_roi_align_views(
                 list(feats[:4]), prop_boxes, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2)
+                output_size=7, sampling_ratio=2, compacted=True)
+            Pp = roi_feats.shape[1]
             cls_logits, deltas = self.bbox_head(
-                roi_feats.reshape(V * Rp, *roi_feats.shape[2:]))
+                roi_feats.reshape(V * Pp, *roi_feats.shape[2:]))
+            cls_logits = jnp.take_along_axis(
+                cls_logits.reshape(V, Pp, -1), pos[:, :, None], 1)
+            deltas = jnp.take_along_axis(
+                deltas.reshape(V, Pp, -1), pos[:, :, None], 1)
         else:
             flat_rois = prop_boxes.reshape(V * Rp, 4)
             view_idx = jnp.repeat(jnp.arange(V), Rp)

@@ -78,6 +78,13 @@ def test_pallas_align_views_matches_xla(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
                                np.asarray(want), rtol=2e-3, atol=2e-3)
+    # compacted mode: out[v, pos[v, p]] == roi p of view v (incl. overflow)
+    out_c, pos = pallas_roi_align_views(feats, rois, strides,
+                                        rois_per_step=4, interpret=True,
+                                        compacted=True)
+    unperm = jnp.take_along_axis(out_c, pos[:, :, None, None, None], 1)
+    np.testing.assert_allclose(np.asarray(unperm), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_pallas_align_views_single_short_level(rng):
