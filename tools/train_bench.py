@@ -31,6 +31,8 @@ def main():
                    help='disable DN denoising (attributes the DN query '
                         'pad + dn-loss cost)')
     p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--trace', metavar='DIR',
+                   help='capture an xplane device trace of 3 steps into DIR')
     args = p.parse_args()
 
     import jax
@@ -109,6 +111,13 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(f'train step: {dt * 1000:.1f} ms/scene '
           f'({1 / dt:.3f} scenes/sec/chip), loss={total:.3f}')
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(50 + i))
+        float(metrics['total_loss'])
+        jax.profiler.stop_trace()
+        print(f'trace written to {args.trace}')
 
 
 if __name__ == '__main__':
