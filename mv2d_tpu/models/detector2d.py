@@ -111,6 +111,36 @@ class TwoStageDetector(nn.Module):
                 output_size=7, sampling_ratio=2, chunk=16384)
         return self.bbox_head(roi_feats)
 
+    def roi_forward_views(self, feats: Sequence[jnp.ndarray],
+                          rois_vp: jnp.ndarray):
+        """R-CNN head on view-uniform TRAINING RoIs [V, S, 4] -> flat
+        ([V*S, num_cls+1], [V*S, 4*num_cls]).
+
+        On TPU this routes the slab align with its slab-resident custom
+        VJP (backward = windowed VMEM accumulation, no scatter); the head
+        runs in the kernel's compacted slot order and only the small
+        logits/deltas are un-permuted."""
+        from ..ops import pallas_enabled
+        V, S = rois_vp.shape[:2]
+        if pallas_enabled():
+            from ..ops.pallas_roi_align import pallas_roi_align_views_train
+            roi_feats, pos = pallas_roi_align_views_train(
+                [f[:V] for f in feats[:4]], rois_vp, self.fpn_strides[:4],
+                output_size=7, sampling_ratio=2)
+            Pp = roi_feats.shape[1]
+            cls_logits, deltas = self.bbox_head(
+                roi_feats.reshape(V * Pp, *roi_feats.shape[2:]))
+            cls_logits = jnp.take_along_axis(
+                cls_logits.reshape(V, Pp, -1), pos[:, :, None], 1)
+            deltas = jnp.take_along_axis(
+                deltas.reshape(V, Pp, -1), pos[:, :, None], 1)
+            return (cls_logits.reshape(V * S, -1),
+                    deltas.reshape(V * S, -1))
+        flat_rois = rois_vp.reshape(V * S, 4)
+        view_idx = jnp.repeat(jnp.arange(V), S)
+        return self.roi_forward(feats, flat_rois, view_idx,
+                                differentiable=True)
+
     def detect(self, feats: Sequence[jnp.ndarray],
                image_shape: Tuple[int, int],
                cfg: DetectionProposalCfg) -> Proposals:

@@ -481,8 +481,8 @@ class MV2D(nn.Module):
                        rpn_deltas=rpn_deltas)
         return out, det_raw
 
-    def rcnn_train_forward(self, fpn_feats, rois: jnp.ndarray,
-                           view_idx: jnp.ndarray):
-        """RCNN head on sampled training RoIs (differentiable align path)."""
-        return self.base_detector.roi_forward(fpn_feats, rois, view_idx,
-                                              differentiable=True)
+    def rcnn_train_forward(self, fpn_feats, rois_vp: jnp.ndarray):
+        """RCNN head on sampled training RoIs, rois_vp [V, S, 4]
+        (differentiable align: slab Pallas kernel with the scatter-free
+        custom VJP on TPU, XLA gather elsewhere)."""
+        return self.base_detector.roi_forward_views(fpn_feats, rois_vp)

@@ -556,14 +556,14 @@ def _make_prv(strides, output_size, sampling_ratio, finest_scale,
     return f
 
 
-def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
-              finest_scale, rois_per_step, overflow_bucket, interpret,
-              compacted=False):
-    L = len(feats)
-    V, _, _, C = feats[0].shape
-    P = rois.shape[1]
-    nr = rois_per_step
-    O, S = output_size, sampling_ratio
+def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
+    """Per-RoI routing/geometry shared by the slab kernel's forward and
+    backward: level routing, pass classing, per-view bucket compaction and
+    the scalar-prefetch argument list.  `dims` is the static tuple of
+    (H, W) per FPN level; rois [V, P, 4] image pixels."""
+    L = len(dims)
+    V, P = rois.shape[:2]
+    O = output_size
     npass = len(PASS_SIZES)
     flat = rois.reshape(V * P, 4)
 
@@ -596,29 +596,22 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     Pp = -(-(P + npass * nr) // nr) * nr                   # padded slots
     spv = Pp // nr
 
-    # ---- stacked per-view slab (levels along H; no tail pad: a patch that
-    # would overrun the slab slides its origin UP into earlier levels'
-    # rows - the hat weights for cells outside the routed level are
-    # exactly zero, so the extra rows never contribute)
-    Wmax = -(-max(f.shape[2] for f in feats) // 8) * 8
-    parts, row_offs, off = [], [], 0
+    # ---- slab layout (levels along H; no tail pad: a patch that would
+    # overrun the slab slides its origin UP into earlier levels' rows -
+    # the hat weights for cells outside the routed level are exactly zero,
+    # so the extra rows never contribute)
+    Wmax = -(-max(w for _, w in dims) // 8) * 8
+    row_offs, off = [], 0
     Hs_c, Ws_c = [], []
-    for f, s in zip(feats, strides):
-        Hl, Wl = f.shape[1], f.shape[2]
-        parts.append(jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - Wl), (0, 0))))
+    for Hl, Wl in dims:
         row_offs.append(off)
         off += Hl
         Hs_c.append(Hl)
         Ws_c.append(Wl)
-    stacked = jnp.concatenate(parts, axis=1)
-    if stacked.shape[1] < PASS_SIZES[-1]:
-        # short slabs (e.g. the single p4 level, 32 rows) are zero-padded so
-        # the largest patch pass always fits; the pad rows carry zero hat
-        # weights and never contribute
-        stacked = jnp.pad(stacked, ((0, 0),
-                                    (0, PASS_SIZES[-1] - stacked.shape[1]),
-                                    (0, 0), (0, 0)))
-    Hslab = stacked.shape[1]
+    # short slabs (e.g. the single p4 level, 32 rows) are zero-padded so
+    # the largest patch pass always fits; the pad rows carry zero hat
+    # weights and never contribute
+    Hslab = max(off, PASS_SIZES[-1])
 
     # ---- per-roi geometry at the routed level (pass-dependent clipping)
     row_off_t = jnp.asarray(row_offs)[lvl]
@@ -652,6 +645,37 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     spass = jnp.full((V, Pp), npass + 1, jnp.int32)
     spass = spass.at[jnp.arange(V)[:, None], pos].set(pid_v)
     step_pass = spass.reshape(V, spv, nr).min(axis=2).reshape(-1)
+    return dict(lvl=lvl, pass_id=pass_id, pos=pos, Pp=Pp, spv=spv,
+                Wmax=Wmax, Hslab=Hslab, row_offs=row_offs,
+                Hs_c=Hs_c, Ws_c=Ws_c, args=args, step_pass=step_pass)
+
+
+def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
+              finest_scale, rois_per_step, overflow_bucket, interpret,
+              compacted=False):
+    V, _, _, C = feats[0].shape
+    P = rois.shape[1]
+    nr = rois_per_step
+    O, S = output_size, sampling_ratio
+    npass = len(PASS_SIZES)
+    flat = rois.reshape(V * P, 4)
+
+    dims = tuple((f.shape[1], f.shape[2]) for f in feats)
+    g = _prv_geom(dims, rois, strides, output_size, finest_scale, nr)
+    lvl, pass_id, pos = g['lvl'], g['pass_id'], g['pos']
+    Pp, spv, Wmax = g['Pp'], g['spv'], g['Wmax']
+    row_offs, Hs_c, Ws_c = g['row_offs'], g['Hs_c'], g['Ws_c']
+    args, step_pass = g['args'], g['step_pass']
+
+    # ---- stacked per-view slab
+    parts = [jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - f.shape[2]), (0, 0)))
+             for f in feats]
+    stacked = jnp.concatenate(parts, axis=1)
+    if stacked.shape[1] < g['Hslab']:
+        stacked = jnp.pad(stacked, ((0, 0),
+                                    (0, g['Hslab'] - stacked.shape[1]),
+                                    (0, 0), (0, 0)))
+    Hslab = stacked.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
@@ -699,3 +723,223 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     if compacted:
         return out_s, pos.astype(jnp.float32)
     return out
+
+
+# --------------------------------------------------------------------------
+# Differentiable slab align (the R-CNN TRAINING stage).
+#
+# The XLA gather align's backward is a row scatter-add ([R, 196, 4C] sample
+# grads into the parity buffer) - descriptor-bound, ~7.7% of the train-step
+# device profile.  Here the backward is slab-RESIDENT like the forward:
+# dPatch = By^T dOut Bx per RoI (two small batched MXU dots - the exact
+# transpose of the forward's separable evaluation) accumulated at dynamic
+# offsets into a VMEM-resident f32 dSlab block that is flushed to HBM once
+# per (channel-split, view), then unstacked into per-level grads.  No
+# scatter anywhere; RoI (box) gradients are zero by design (the reference
+# detaches sampled proposals before RoIAlign, mv2d.py:110-113).
+# --------------------------------------------------------------------------
+
+
+def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
+                     x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
+                     dout_ref, dslab_ref, *, nr: int, spv: int, sizes,
+                     O: int, S: int):
+    """Grid (csplit, V, spv); dslab_ref [1, Hslab, Wmax, Cb] f32 keeps a
+    constant block index over the roi-step axis, so windows accumulate in
+    VMEM and the block is written back once per (channel split, view)."""
+    v = pl.program_id(1)
+    i = pl.program_id(2)
+    base = (v * spv + i) * nr
+
+    @pl.when(i == 0)
+    def _():
+        dslab_ref[:] = jnp.zeros_like(dslab_ref)
+
+    sp = step_pass_ref[v * spv + i]
+    qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0).astype(jnp.float32)
+
+    for p, ph in enumerate(sizes):
+        pw = ph + 8
+
+        @pl.when(sp == p)
+        def _(ph=ph, pw=pw):
+            cell_y = jax.lax.broadcasted_iota(jnp.int32, (O, ph),
+                                              1).astype(jnp.float32)
+            cell_x = jax.lax.broadcasted_iota(jnp.int32, (O, pw),
+                                              1).astype(jnp.float32)
+            # EXACT mirror of _kernel_slab's weight build (sample-mean and
+            # active-mask folds included) - the backward must transpose the
+            # same linear map the forward evaluated
+            bys, bxs = [], []
+            for j in range(nr):
+                act = (active_ref[base + j] > 0).astype(jnp.float32)
+                y1 = y1_ref[base + j]
+                x1 = x1_ref[base + j]
+                bh = bh_ref[base + j]
+                bw = bw_ref[base + j]
+                H = hf_ref[base + j]
+                W = wf_ref[base + j]
+                oy = py_ref[base + j].astype(jnp.float32)
+                ox = px_ref[base + j].astype(jnp.float32)
+                by = jnp.zeros((O, ph), jnp.float32)
+                bx = jnp.zeros((O, pw), jnp.float32)
+                for s in range(S):
+                    frac = (s + 0.5) / S
+                    ys = y1 + (qio + frac) * bh
+                    xs = x1 + (qio + frac) * bw
+                    in_y = (ys > -1.0) & (ys < H)
+                    in_x = (xs > -1.0) & (xs < W)
+                    ys = jnp.clip(ys, 0.0, H - 1) - oy
+                    xs = jnp.clip(xs, 0.0, W - 1) - ox
+                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
+                                          0.0) * in_y
+                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
+                                          0.0) * in_x
+                bys.append(by * (act / S))
+                bxs.append(bx * (1.0 / S))
+            By = jnp.stack(bys)                       # [nr, O, ph]
+            Bx = jnp.stack(bxs)                       # [nr, O, pw]
+
+            dout = dout_ref[0].astype(jnp.float32)    # [nr, O, O, Cb]
+            Cb = dout.shape[-1]
+            # u[n, y, ox*c] = sum_oy By[n, oy, y] dOut[n, oy, ox, c]
+            u = jax.lax.dot_general(
+                By, dout.reshape(nr, O, O * Cb),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [nr, ph, O*Cb]
+            u = u.reshape(nr, ph, O, Cb).transpose(0, 2, 1, 3)
+            u = u.reshape(nr, O, ph * Cb)
+            # w[n, x, y*c] = sum_ox Bx[n, ox, x] u[n, ox, y*c]
+            w = jax.lax.dot_general(
+                Bx, u, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [nr, pw, ph*Cb]
+            w = w.reshape(nr, pw, ph, Cb).transpose(0, 2, 1, 3)
+
+            for j in range(nr):
+                @pl.when(active_ref[base + j] > 0)
+                def _(j=j):
+                    dslab_ref[0,
+                              pl.ds(row_ref[base + j], ph),
+                              pl.ds(pl.multiple_of(px_ref[base + j], 8), pw),
+                              :] += w[j]
+
+
+def _prv_bwd_impl(dout_s, rois, dims, strides, output_size, sampling_ratio,
+                  finest_scale, nr, interpret):
+    """dout_s [V, Pp, O, O, C] (compacted slot order) -> per-level
+    dFeat [V, H_l, W_l, C] f32 list."""
+    V, Pp, O, _, C = dout_s.shape
+    g = _prv_geom(dims, rois, strides, output_size, finest_scale, nr)
+    Hslab, Wmax, spv = g['Hslab'], g['Wmax'], g['spv']
+    # channel split keeps the VMEM-resident f32 slab block under ~56 MB
+    Cb = C
+    while Hslab * Wmax * Cb * 4 > 56 * 1024 * 1024 and Cb % 256 == 0:
+        Cb //= 2
+    csplit = C // Cb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(csplit, V, spv),
+        in_specs=[pl.BlockSpec((1, nr, O, O, Cb),
+                               lambda c, v, i, *_: (v, i, 0, 0, c))],
+        out_specs=pl.BlockSpec((1, Hslab, Wmax, Cb),
+                               lambda c, v, i, *_: (v, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+    )
+    dstacked = pl.pallas_call(
+        functools.partial(_kernel_slab_bwd, nr=nr, spv=spv,
+                          sizes=PASS_SIZES, O=O, S=sampling_ratio),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, Hslab, Wmax, C), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+    )(g['step_pass'], *g['args'], dout_s)
+    return [dstacked[:, ro:ro + Hl, :Wl, :]
+            for (Hl, Wl), ro in zip(dims, g['row_offs'])]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_prv_train(strides, output_size, sampling_ratio, finest_scale,
+                    rois_per_step, interpret, dims, dtypes):
+    @jax.custom_vjp
+    def f(feats, rois):
+        return _prv_impl(feats, rois, strides, output_size, sampling_ratio,
+                         finest_scale, rois_per_step, 0, interpret,
+                         compacted=True)
+
+    def fwd(feats, rois):
+        return f(feats, rois), rois
+
+    def bwd(rois, g):
+        dout_s, _ = g                                 # pos takes no grad
+        dfeats = _prv_bwd_impl(dout_s, rois, dims, strides, output_size,
+                               sampling_ratio, finest_scale, rois_per_step,
+                               interpret)
+        return (tuple(df.astype(dt) for df, dt in zip(dfeats, dtypes)),
+                jnp.zeros_like(rois))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
+                                 rois: jnp.ndarray,
+                                 strides: Sequence[int],
+                                 output_size: int = 7,
+                                 sampling_ratio: int = 2,
+                                 finest_scale: float = 56.0,
+                                 rois_per_step: int = 8,
+                                 overflow_bucket: int = 128,
+                                 interpret: bool | None = None):
+    """DIFFERENTIABLE slab RoIAlign for view-uniform training RoIs.
+
+    feats: per-level [V, H, W, C]; rois [V, P, 4] image pixels.  Returns
+    (out_s [V, Pp, O, O, C] in compacted slot order, pos [V, P] int32):
+    run the per-RoI head on out_s and un-permute its small outputs with
+    `pos` instead of un-permuting the big align tensor.  Gradients flow to
+    `feats` only (sampled proposals are detached in the reference,
+    mv2d.py:110-113).  Extreme-aspect overflow RoIs take the XLA gather
+    align whose autodiff covers their grads (bounded scatter, <= K rois).
+    """
+    import jax as _jax
+    if interpret is None:
+        interpret = _jax.default_backend() != 'tpu'
+    V, P = rois.shape[:2]
+    O = output_size
+    if not interpret and feats[0].shape[-1] % 128 != 0:
+        from .roi_align import multilevel_roi_align
+        vi = jnp.repeat(jnp.arange(V), P)
+        out = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi,
+                                   strides, output_size, sampling_ratio,
+                                   finest_scale)
+        return (out.reshape(V, P, *out.shape[1:]),
+                jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (V, P)))
+    dims = tuple((f.shape[1], f.shape[2]) for f in feats)
+    dtypes = tuple(f.dtype for f in feats)
+    fn = _make_prv_train(tuple(strides), output_size, sampling_ratio,
+                         finest_scale, rois_per_step, interpret, dims,
+                         dtypes)
+    out_s, posf = fn(tuple(feats), rois)
+    pos = jax.lax.stop_gradient(posf).astype(jnp.int32)
+    C = out_s.shape[-1]
+    Pp = out_s.shape[1]
+
+    if overflow_bucket > 0:
+        # differentiable XLA-gather align for the (rare) overflow rois
+        from .roi_align import multilevel_roi_align
+        g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
+                      rois_per_step)
+        over = g['pass_id'] == len(PASS_SIZES)
+        K = min(overflow_bucket, V * P)
+        sel = jnp.argsort(~over, stable=True)[:K]
+        vi = (sel // P).astype(jnp.int32)
+        o = multilevel_roi_align(list(feats), rois.reshape(-1, 4)[sel], vi,
+                                 strides, output_size, sampling_ratio,
+                                 finest_scale, block_layout=False)
+        o = o * over[sel][:, None, None, None]
+        slot = vi * Pp + g['pos'].reshape(-1)[sel]
+        out_s = out_s.reshape(V * Pp, O, O, C).at[slot].add(
+            o.astype(out_s.dtype)).reshape(V, Pp, O, O, C)
+    return out_s, pos

@@ -121,9 +121,8 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
         batch.gt2d.labels[:Vc], batch.gt2d.valid[:Vc])
     S = samples.rois.shape[1]
     flat_rois = samples.rois.reshape(Vc * S, 4)
-    view_idx = jnp.repeat(jnp.arange(Vc), S)
     cls_logits, reg_deltas = model.apply(
-        variables, det_raw['fpn_feats'], flat_rois, view_idx,
+        variables, det_raw['fpn_feats'], samples.rois,
         method=MV2D.rcnn_train_forward)
     cls_logits = cls_logits.astype(jnp.float32)
     reg_deltas = reg_deltas.astype(jnp.float32)

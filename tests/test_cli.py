@@ -50,7 +50,7 @@ def test_train_and_test_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'train.py'), cfg_path,
          '--work-dir', work, '--max-steps', '1'],
-        env=_env(), capture_output=True, text=True, timeout=900)
+        env=_env(), capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stderr[-3000:]
     assert 'training done' in r.stdout
     assert os.path.exists(os.path.join(work, 'epoch_1'))
@@ -58,7 +58,7 @@ def test_train_and_test_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'test.py'), cfg_path,
          '--max-samples', '2', '--out', str(tmp_path / 'res.json')],
-        env=_env(), capture_output=True, text=True, timeout=900)
+        env=_env(), capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stderr[-3000:]
     assert 'mAP' in r.stdout
     sub = json.load(open(tmp_path / 'res.json'))

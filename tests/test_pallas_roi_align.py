@@ -104,3 +104,55 @@ def test_pallas_align_views_single_short_level(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 16),
                                np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_train_grad(rng):
+    """Trainable slab align: forward parity AND feature-gradient parity
+    against the XLA gather align (the backward is a separate slab-resident
+    accumulation kernel - windows, masks and sample-mean folds must
+    transpose the forward exactly)."""
+    import jax
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views_train
+
+    strides = (4, 8)
+    dims = [(32, 80), (16, 40)]
+    V, P, C = 2, 11, 8
+    feats = [jnp.asarray(rng.normal(size=(V, h, w, C)), jnp.float32)
+             for h, w in dims]
+    rois = np.zeros((V, P, 4), np.float32)
+    for v in range(V):
+        for p in range(P):
+            x1, y1 = rng.uniform(0, 200), rng.uniform(0, 80)
+            w, h = rng.uniform(4, 120), rng.uniform(4, 120)
+            rois[v, p] = [x1, y1, x1 + w, y1 + h]
+    rois[0, 3] = [0, 0, 310, 9]      # extreme aspect -> overflow path
+    rois[1, 7] = [2, 1, 8.5, 124]
+    rois = jnp.asarray(rois)
+    vi = jnp.repeat(jnp.arange(V), P)
+
+    out_s, pos = pallas_roi_align_views_train(feats, rois, strides,
+                                              interpret=True)
+    out = jnp.take_along_axis(out_s, pos[:, :, None, None, None], 1)
+    ref = multilevel_roi_align(feats, rois.reshape(-1, 4), vi,
+                               strides).reshape(V, P, 7, 7, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    cot = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+
+    def f_new(fs):
+        o, p_ = pallas_roi_align_views_train(fs, rois, strides,
+                                             interpret=True)
+        o = jnp.take_along_axis(o, p_[:, :, None, None, None], 1)
+        return (o * cot).sum()
+
+    def f_ref(fs):
+        o = multilevel_roi_align(fs, rois.reshape(-1, 4), vi,
+                                 strides).reshape(V, P, 7, 7, C)
+        return (o * cot).sum()
+
+    g_new = jax.grad(f_new)(feats)
+    g_ref = jax.grad(f_ref)(feats)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
