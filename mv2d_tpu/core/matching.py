@@ -124,6 +124,22 @@ def jv_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
     c = jnp.where(query_valid[:, None] & gt_valid[None, :], cost, _BIG)
     cgq = c.T.astype(jnp.float32)                    # [G, Q]
 
+    # PADDED (invalid) gt rows dominate the augmenting cost if left at a
+    # uniform _BIG: their Dijkstra linearly re-walks the assigned columns
+    # until it finds a free one (~G scans each, and most of the G slots are
+    # padding in typical scenes).  Give each invalid row a RESERVED invalid
+    # query column at cost -1: its search sinks in ONE step.  Exactness is
+    # unaffected - invalid rows never competed for valid columns (both
+    # alternatives cost _BIG and the matched pair is filtered afterwards),
+    # and valid rows still see _BIG on reserved columns.  If there are
+    # fewer invalid columns than invalid rows (tiny configs) the excess
+    # rows keep the _BIG fallback (slow but exact).
+    g_ids = jnp.arange(G)
+    res_col = jnp.argsort(query_valid, stable=True)[:G].astype(jnp.int32)
+    res_ok = (~query_valid[res_col]) & (~gt_valid)
+    cgq = cgq.at[g_ids, res_col].set(
+        jnp.where(res_ok, -1.0, cgq[g_ids, res_col]))
+
     def augment_row(cur_row, state):
         u, v, col4row, row4col = state
 

@@ -71,14 +71,18 @@ def random_sample(rng: jax.Array, is_pos: jnp.ndarray, is_neg: jnp.ndarray,
     n = is_pos.shape[0]
     k_pos = int(num * pos_fraction)
     kp, kn = jax.random.split(rng)
+    # top_k of the negated key = the k smallest keys; a full
+    # argsort(argsort(.)) rank costs two [N]-sorts per view (~8 ms/step at
+    # 180k anchors), top_k(N, 256) is ~10x cheaper on TPU
     pos_key = jnp.where(is_pos, jax.random.uniform(kp, (n,)), 2.0)
-    pos_rank = jnp.argsort(jnp.argsort(pos_key))   # rank of each element
-    pos_sel = is_pos & (pos_rank < k_pos)
+    _, pidx = jax.lax.top_k(-pos_key, min(k_pos, n))
+    pos_sel = jnp.zeros((n,), bool).at[pidx].set(True) & is_pos
     n_pos = pos_sel.sum()
     k_neg = num - jnp.minimum(n_pos, k_pos)
     neg_key = jnp.where(is_neg, jax.random.uniform(kn, (n,)), 2.0)
-    neg_rank = jnp.argsort(jnp.argsort(neg_key))
-    neg_sel = is_neg & (neg_rank < k_neg)
+    _, nidx = jax.lax.top_k(-neg_key, min(num, n))  # ascending key order
+    take = jnp.arange(min(num, n)) < k_neg
+    neg_sel = jnp.zeros((n,), bool).at[nidx].max(take) & is_neg
     return pos_sel, neg_sel
 
 

@@ -114,3 +114,27 @@ def test_hungarian_assign_jv_method(rng):
     assert pos.sum() == 5
     assert set(assigned[pos].tolist()) == {0, 1, 2, 3, 4}
     assert not pos[12:].any()
+
+
+def test_jv_padded_rows_reserved_columns(rng):
+    """Training-shaped padding: most gt rows and query columns invalid.
+    The reserved-column fast path for invalid rows must not change the
+    optimal assignment of the valid submatrix."""
+    Q, G, qn, gn = 320, 96, 120, 23
+    cost = rng.uniform(0, 5, (Q, G)).astype(np.float32)
+    qv = np.zeros(Q, bool)
+    qv[rng.permutation(Q)[:qn]] = True
+    gv = np.zeros(G, bool)
+    gv[:gn] = True                                   # data pads gt at the end
+    assigned, pos = M.hungarian_assign(jnp.asarray(cost), jnp.asarray(qv),
+                                       jnp.asarray(gv), method='jv')
+    assigned = np.asarray(assigned)
+    pos = np.asarray(pos)
+    assert pos.sum() == gn
+    assert np.all(qv[pos])                           # only valid queries
+    assert sorted(assigned[pos]) == list(range(gn))  # each valid gt once
+    got = cost[np.where(pos)[0], assigned[pos]].sum()
+    sub = cost[np.ix_(qv, gv)]
+    rows, cols = linear_sum_assignment(sub)
+    want = sub[rows, cols].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)

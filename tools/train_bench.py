@@ -23,7 +23,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--image-h', type=int, default=512)
     p.add_argument('--image-w', type=int, default=1408)
-    p.add_argument('--no-remat', action='store_true')
+    # backbone remat default OFF: at recipe shapes the step fits in HBM
+    # without it and runs ~5% faster (450 -> 433 ms measured); --remat
+    # re-enables it for larger-than-recipe configs
+    p.add_argument('--remat', action='store_true')
+    p.add_argument('--no-remat', action='store_true',
+                   help='(default; kept for compatibility)')
     p.add_argument('--no-dcn', action='store_true',
                    help='plain convs in stages 3-4 (attributes the DCN '
                         'fwd+bwd cost inside the train step)')
@@ -48,7 +53,7 @@ def main():
     from __graft_entry__ import _rig
 
     cfg = configs.mv2d_t_r50(image_size=(args.image_h, args.image_w),
-                             remat=not args.no_remat,
+                             remat=args.remat,
                              **({'stage_with_dcn': (False,) * 4}
                                 if args.no_dcn else {}),
                              **({'use_denoise': False}
