@@ -51,6 +51,22 @@ def mv2d_s_r50(**overrides) -> MV2DConfig:
     return cfg._replace(**overrides)
 
 
+def mv2d_t_r101(**overrides) -> MV2DConfig:
+    """MV2D-T R101 two-frame 1600x640: the reference's R101 detector base
+    (configs/mv2d/detectors/maskrcnn_r101.py) at the BASELINE.json stretch
+    resolution; same head recipe as mv2d_t_r50."""
+    cfg = mv2d_t_r50(depth=101, image_size=(640, 1600), k_max=24576)
+    return cfg._replace(**overrides)
+
+
+def mv2d_t_v99(**overrides) -> MV2DConfig:
+    """MV2D-T VoVNet-99 (the registered-but-unused backbone family,
+    ref models/backbones/vovnetcp.py) at the two-frame recipe."""
+    cfg = mv2d_t_r50(backbone_type='vovnet', depth=99,
+                     stage_with_dcn=(False,) * 4)
+    return cfg._replace(**overrides)
+
+
 def tiny(key_mode: str = 'pixel', num_frames: int = 1,
          **overrides) -> MV2DConfig:
     """Miniature config for tests / CPU dry-runs."""

@@ -161,6 +161,74 @@ def transform_boxes_2d(boxes: np.ndarray, p: IdaParams,
     return b.astype(np.float32), keep
 
 
+# ------------------------------------------------ multi-scale center crops
+
+def ms_center_crop_params(resize: float, cfg: IdaAugConfig,
+                          center_size: float = 2.0) -> IdaParams:
+    """MSResizeCropFlipImage._crop_augmentation (ref transform_3d.py:807-818):
+    a `center_size` x zoom of the image center at the shared final_dim."""
+    H, W = cfg.H, cfg.W
+    fH, fW = cfg.final_dim
+    r = center_size * resize
+    newW, newH = int(W * r), int(H * r)
+    crop_h = int(max(0, newH - fH) / 2)
+    crop_w = int(max(0, newW - fW) / 2)
+    return IdaParams(r, (newW, newH),
+                     (crop_w, crop_h, crop_w + fW, crop_h + fH), False, 0.0)
+
+
+def ms_resize_crop_flip(imgs: Sequence[np.ndarray], intrinsics, extrinsics,
+                        timestamps, p: IdaParams, cfg: IdaAugConfig,
+                        view_num: int = 1, center_size: float = 2.0):
+    """MSResizeCropFlipImage (ref transform_3d.py:677-818): the shared ida
+    aug on ALL views plus `view_num` appended center-zoom copies of the
+    first views (duplicated extrinsics/timestamps, ida-updated intrinsics).
+    Multi-scale variant, registered-but-unused in the shipped recipes.
+
+    Returns (imgs, intrinsics, extrinsics, timestamps) with
+    len == N + view_num.
+    """
+    out_imgs = [apply_ida_image(im, p) for im in imgs]
+    out_k = [apply_ida_intrinsics(K, p) for K in intrinsics]
+    out_e = list(extrinsics)
+    out_t = list(timestamps)
+    cp = ms_center_crop_params(p.resize, cfg, center_size)
+    for i in range(view_num):
+        out_imgs.append(apply_ida_image(imgs[i], cp))
+        out_k.append(apply_ida_intrinsics(intrinsics[i], cp))
+        out_e.append(extrinsics[i])
+        out_t.append(timestamps[i])
+    return out_imgs, out_k, out_e, out_t
+
+
+# --------------------------------------------------- albumentations bridge
+
+def albu_multiview(transforms: Sequence[dict]):
+    """AlbuMultiview3D (ref transform_3d.py:907-1041): albumentations-based
+    per-view image aug from a config list of dicts.  Returns an
+    imgs -> imgs callable; raises if albumentations is unavailable (the
+    reference does the same).  Registered-but-unused in shipped recipes."""
+    try:
+        import albumentations
+        from albumentations import Compose
+    except ImportError as e:                     # pragma: no cover
+        raise RuntimeError('albumentations is not installed') from e
+
+    def build(t):
+        t = dict(t)
+        cls = getattr(albumentations, t.pop('type'))
+        if 'transforms' in t:
+            t['transforms'] = [build(x) for x in t['transforms']]
+        return cls(**t)
+
+    aug = Compose([build(t) for t in transforms])
+
+    def apply(imgs):
+        return [aug(image=np.asarray(im))['image'] for im in imgs]
+
+    return apply
+
+
 # --------------------------------------------------------------- BEV aug
 
 def global_rot_scale(rng: np.random.Generator,

@@ -426,9 +426,7 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
 
     sp = step_pass_ref[v * spv + i]
     # sample-mean FOLDED into the hat weights (linear, so exact): By[oy, p]
-    # = (1/S) sum_s hat(ys[oy*S+s] - p) -> two [nr, O, *] dot operands and
-    # NO transposes or 6D mean (Mosaic transposes of [nr, ns, pw, C] cost
-    # more than the dots themselves)
+    # = (1/S) sum_s hat(ys[oy*S+s] - p)
     qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0).astype(jnp.float32)
 
     @pl.when(sp >= len(sizes))
@@ -480,9 +478,12 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
             patches = jnp.stack(pats)                     # [nr, ph, pw, C]
             dt = patches.dtype
             C = patches.shape[-1]
-            # merged-minor batched dots (contraction over the rhs 3D
-            # major dim lowers to native MXU passes; the 3Dx4D
-            # contract-dim-2 form lowers ~2x slower on Mosaic)
+            # merged-minor batched dots; a lane-flattened [Hslab, Wmax*C]
+            # slab variant (2D patch slices, no (pw, C)->lanes merge) was
+            # measured NEUTRAL-to-slower: its 8-aligned row origins need
+            # 8-taller patches whose extra dot work cancels the relayout
+            # saving (eval 9.49 -> 9.33); the 3Dx4D and block-diagonal dot
+            # forms measure the same as this form
             tmp = jax.lax.dot_general(
                 By.astype(dt), patches.reshape(nr, ph, pw * C),
                 (((2,), (1,)), ((0,), (0,))),
@@ -580,19 +581,20 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
         pass_id = pass_id + (cells > ph - 3)
 
     # ---- per-view bucket compaction: pass-p rois of view v land in a
-    # contiguous nr-aligned run, so each grid step is single-pass
+    # contiguous nr-aligned run, so each grid step is single-pass.
+    # Stable within-pass ranks come from per-pass CUMSUMS (an
+    # argsort(argsort(.)) rank is two [V, P] sorts - measurably slower)
     pid_v = pass_id.reshape(V, P)
-    rank = jnp.argsort(jnp.argsort(pid_v, axis=1, stable=True), axis=1)
-    # rank within own pass = rank - (number of rois in earlier passes)
     counts = jnp.stack([(pid_v == p).sum(1) for p in range(npass + 1)],
                        axis=1)                             # [V, npass+1]
-    below = jnp.concatenate([jnp.zeros((V, 1), counts.dtype),
-                             jnp.cumsum(counts, axis=1)[:, :-1]], axis=1)
     run_off = jnp.concatenate(
         [jnp.zeros((V, 1), counts.dtype),
          jnp.cumsum(-(-counts // nr) * nr, axis=1)[:, :-1]], axis=1)
-    pos = (jnp.take_along_axis(run_off, pid_v, 1)
-           + rank - jnp.take_along_axis(below, pid_v, 1))  # [V, P]
+    within = jnp.zeros((V, P), jnp.int32)
+    for p in range(npass + 1):
+        hit = pid_v == p
+        within = jnp.where(hit, jnp.cumsum(hit, axis=1) - 1, within)
+    pos = jnp.take_along_axis(run_off, pid_v, 1) + within  # [V, P]
     Pp = -(-(P + npass * nr) // nr) * nr                   # padded slots
     spv = Pp // nr
 
@@ -630,20 +632,36 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
     px = jnp.clip(px, 0, jnp.maximum(Wmax - (ph_of + 8), 0))
     row = row_off_t + py
 
-    # ---- scatter per-roi scalars into padded slots
-    def scat(x, fill=0):
-        buf = jnp.full((V, Pp), fill, x.dtype)
-        return buf.at[jnp.arange(V)[:, None], pos].set(
-            x.reshape(V, P)).reshape(-1)
+    # ---- route per-roi scalars into padded slots with ONE one-hot batched
+    # matmul: 12 separate [V, P]-scatter ops are descriptor-bound on TPU
+    # (~3 ms EACH standalone; the scatter wrapper, not the kernel, was the
+    # slab align's unexplained ~2 us/roi floor)
+    vals = jnp.stack(
+        [row.astype(jnp.float32), px.astype(jnp.float32),
+         (pass_id < npass).astype(jnp.float32),
+         y1.astype(jnp.float32), x1.astype(jnp.float32),
+         bh.astype(jnp.float32), bw.astype(jnp.float32),
+         H_t.astype(jnp.float32), W_t.astype(jnp.float32),
+         py.astype(jnp.float32), pid_v.reshape(-1).astype(jnp.float32)],
+        axis=-1).reshape(V, P, 11)
+    onehot = (pos[:, None, :] ==
+              jnp.arange(Pp)[None, :, None]).astype(jnp.float32)
+    # HIGHEST precision: each slot has exactly ONE contributing roi, and a
+    # single 1.0*v term reconstructs v exactly under bf16x3 - the default
+    # bf16 pass would corrupt the sampling geometry scalars
+    scat_all = jnp.einsum('vsp,vpk->vsk', onehot, vals,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)  # [V, Pp, 11]
+    slot_has = onehot.sum(-1) > 0.5                            # [V, Pp]
 
-    args = [scat(row), scat(px),
-            scat((pass_id < npass).astype(jnp.int32)),
-            scat(y1.astype(jnp.float32)), scat(x1.astype(jnp.float32)),
-            scat(bh.astype(jnp.float32)), scat(bw.astype(jnp.float32)),
-            scat(H_t.astype(jnp.float32)), scat(W_t.astype(jnp.float32)),
-            scat(py)]
-    spass = jnp.full((V, Pp), npass + 1, jnp.int32)
-    spass = spass.at[jnp.arange(V)[:, None], pos].set(pid_v)
+    def col(k, as_int=False):
+        x = scat_all[..., k].reshape(-1)
+        return jnp.round(x).astype(jnp.int32) if as_int else x
+
+    args = [col(0, True), col(1, True), col(2, True),
+            col(3), col(4), col(5), col(6), col(7), col(8), col(9, True)]
+    spass = jnp.where(slot_has, jnp.round(scat_all[..., 10]).astype(
+        jnp.int32), npass + 1)
     step_pass = spass.reshape(V, spv, nr).min(axis=2).reshape(-1)
     return dict(lvl=lvl, pass_id=pass_id, pos=pos, Pp=Pp, spv=spv,
                 Wmax=Wmax, Hslab=Hslab, row_offs=row_offs,

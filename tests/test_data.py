@@ -155,3 +155,35 @@ def test_dataset_two_frames(tmp_path, rng):
     # empty sweeps -> current frame repeated (pad_empty_sweeps)
     assert s['imgs'].shape == (12, 64, 96, 3)
     assert (s['timestamps'][6:] > s['timestamps'][:6]).all()
+
+
+def test_ms_resize_crop_flip_appends_center_zooms(rng):
+    """MSResizeCropFlipImage parity: N+view_num outputs; appended views are
+    center_size-x zooms whose intrinsics map the same world ray to the
+    zoomed pixel (ida homography applied to K)."""
+    from mv2d_tpu.data.pipeline import (IdaAugConfig, IdaParams,
+                                        ida_matrix, ms_center_crop_params,
+                                        ms_resize_crop_flip)
+    cfg = IdaAugConfig(final_dim=(128, 352), H=225, W=400,
+                       resize_lim=(0.88, 0.88), rand_flip=False)
+    imgs = [rng.uniform(0, 255, (225, 400, 3)).astype(np.float32)
+            for _ in range(3)]
+    Ks = []
+    for _ in range(3):
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 300.0
+        K[0, 2], K[1, 2] = 200.0, 112.0
+        Ks.append(K)
+    Es = [np.eye(4) for _ in range(3)]
+    ts = [0.0, 0.0, 0.0]
+    p = IdaParams(0.88, (int(400 * .88), int(225 * .88)), (0, 30, 352, 158),
+                  False, 0.0)
+    out_i, out_k, out_e, out_t = ms_resize_crop_flip(
+        imgs, Ks, Es, ts, p, cfg, view_num=2, center_size=2.0)
+    assert len(out_i) == 5 and len(out_k) == 5 and len(out_t) == 5
+    assert out_i[3].shape == (128, 352, 3)
+    cp = ms_center_crop_params(p.resize, cfg, 2.0)
+    want = ida_matrix(cp) @ Ks[0][:3, :3]
+    np.testing.assert_allclose(out_k[3][:3, :3], want, rtol=1e-6)
+    # zoomed view focal length is center_size x the base-aug view's
+    assert out_k[3][0, 0] / out_k[0][0, 0] == pytest.approx(2.0, rel=1e-6)
