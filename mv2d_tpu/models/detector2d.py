@@ -47,6 +47,51 @@ class Proposals:
     valid: jnp.ndarray     # [V, P] bool
 
 
+class SingleStageDetector(nn.Module):
+    """Single-stage 2D detector family (ref `SingleStageDetBase`,
+    wrap_detector.py:7-33, which lets MV2D run on any mmdet single-stage
+    detector): shared backbone+FPN with a RetinaNet-style anchor head,
+    decoding into the same padded `Proposals` the 3D head consumes.
+    The shipped recipes use the two-stage Faster R-CNN; this is the
+    swap-in family (BASELINE.json stretch config)."""
+    depth: int = 50
+    num_classes: int = 10
+    backbone_type: str = 'resnet'          # 'resnet' | 'vovnet'
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    fpn_channels: int = 256
+    fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    remat: bool = False
+
+    def setup(self):
+        from ..nn.retina import RetinaHead
+        if self.backbone_type == 'vovnet':
+            from ..nn.vovnet import VoVNet
+            self.backbone = VoVNet(depth=self.depth)
+        else:
+            self.backbone = ResNet(depth=self.depth,
+                                   stage_with_dcn=self.stage_with_dcn,
+                                   remat=self.remat)
+        self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
+        self.retina_head = RetinaHead(num_classes=self.num_classes,
+                                      feat_channels=self.fpn_channels)
+
+    def extract_feat(self, imgs: jnp.ndarray,
+                     fast_inference: bool = False) -> Sequence[jnp.ndarray]:
+        return self.fpn(self.backbone(imgs, fast_inference))
+
+    def detect(self, feats: Sequence[jnp.ndarray],
+               image_shape: Tuple[int, int],
+               cfg: DetectionProposalCfg) -> Proposals:
+        from ..nn.retina import single_stage_detections
+        scores, deltas = self.retina_head(feats)
+        boxes, sc, labels, valid = single_stage_detections(
+            scores, deltas, self.fpn_strides, image_shape,
+            self.num_classes, score_thr=cfg.score_thr,
+            nms_pre=cfg.nms_pre, iou_threshold=cfg.iou_threshold,
+            max_per_img=cfg.max_per_img, min_bbox_size=cfg.min_bbox_size)
+        return Proposals(boxes=boxes, scores=sc, labels=labels, valid=valid)
+
+
 class TwoStageDetector(nn.Module):
     depth: int = 50
     num_classes: int = 10

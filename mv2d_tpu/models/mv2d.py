@@ -45,6 +45,7 @@ class MV2DConfig(NamedTuple):
     image_size: Tuple[int, int] = (512, 1408)   # (H, W) padded input
     depth: int = 50
     backbone_type: str = 'resnet'               # 'resnet' | 'vovnet'
+    detector_type: str = 'two_stage'            # 'two_stage' | 'single_stage'
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
     num_classes: int = 10
     embed_dims: int = 256
@@ -151,11 +152,21 @@ class MV2D(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.base_detector = TwoStageDetector(
-            depth=c.depth, num_classes=c.num_classes,
-            backbone_type=c.backbone_type,
-            stage_with_dcn=c.stage_with_dcn, fpn_channels=c.fpn_channels,
-            rcnn_fc_channels=c.rcnn_fc_channels, remat=c.remat)
+        if c.detector_type == 'single_stage':
+            # ref SingleStageDetBase (wrap_detector.py:7-33): swap-in
+            # single-stage 2D detector family
+            from .detector2d import SingleStageDetector
+            self.base_detector = SingleStageDetector(
+                depth=c.depth, num_classes=c.num_classes,
+                backbone_type=c.backbone_type,
+                stage_with_dcn=c.stage_with_dcn,
+                fpn_channels=c.fpn_channels, remat=c.remat)
+        else:
+            self.base_detector = TwoStageDetector(
+                depth=c.depth, num_classes=c.num_classes,
+                backbone_type=c.backbone_type,
+                stage_with_dcn=c.stage_with_dcn, fpn_channels=c.fpn_channels,
+                rcnn_fc_channels=c.rcnn_fc_channels, remat=c.remat)
         # neck: p4-selecting FPN-on-FPN (ref ..._ep24.py:32-39)
         self.neck = FPN(out_channels=c.embed_dims, num_outs=1,
                         start_level=2, end_level=2)
@@ -462,8 +473,12 @@ class MV2D(nn.Module):
         imgs = grid_mask_fn(self.make_rng('aug'), imgs)
         fpn_feats, p4 = self.extract_feats(imgs)
 
-        # ---- 2D detector raw outputs for RPN/RCNN losses (current frame)
-        rpn_scores, rpn_deltas = self.base_detector.rpn_head(fpn_feats)
+        # ---- 2D detector raw outputs for the 2D losses (current frame):
+        # RPN logits for two-stage, anchor-head logits for single-stage
+        if c.detector_type == 'single_stage':
+            rpn_scores, rpn_deltas = self.base_detector.retina_head(fpn_feats)
+        else:
+            rpn_scores, rpn_deltas = self.base_detector.rpn_head(fpn_feats)
 
         # ---- no-grad 2D detections -> proposals (+ GT complement)
         feats_sg = tuple(jax.lax.stop_gradient(f) for f in fpn_feats)

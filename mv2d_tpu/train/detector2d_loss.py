@@ -161,3 +161,32 @@ def rcnn_loss(cls_logits: jnp.ndarray, reg_deltas: jnp.ndarray,
     loss_bbox = weighted_l1_loss(d_sel, samples.reg_targets, w, avg)
     return {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
             'rcnn_num_pos': samples.is_pos.sum()}
+
+
+def single_stage_loss(flat_scores: jnp.ndarray, flat_deltas: jnp.ndarray,
+                      anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+                      num_classes: int = 10) -> Dict[str, jnp.ndarray]:
+    """RetinaNet-style anchor-head losses for ONE view (the training side
+    of the single-stage detector family, ref SingleStageDetBase
+    forward_train_w_feat -> mmdet RetinaHead.loss semantics):
+    MaxIoUAssigner(0.5/0.4/0, low-quality matches) over ALL anchors,
+    sigmoid focal loss (alpha .25, gamma 2) averaged by num_pos, and L1 on
+    positive anchor deltas.
+
+    flat_scores: [N, K] logits; flat_deltas: [N, 4]; anchors: [N, 4].
+    """
+    from ..ops.focal_loss import sigmoid_focal_loss
+    assign = max_iou_assign(anchors, gt_boxes, gt_valid, 0.5, 0.4, 0.0)
+    n, k = flat_scores.shape
+    safe_gt = jnp.clip(assign.assigned_gt, 0, gt_boxes.shape[0] - 1)
+    labels = jnp.where(assign.is_pos, gt_labels[safe_gt], num_classes)
+    weights = (assign.is_pos | assign.is_neg).astype(jnp.float32)
+    avg = jnp.maximum(assign.is_pos.sum().astype(jnp.float32), 1.0)
+    loss_cls = sigmoid_focal_loss(flat_scores, labels, weights,
+                                  num_classes, avg_factor=avg)
+    target = bbox2delta(anchors, gt_boxes[safe_gt])
+    w = assign.is_pos[:, None].astype(flat_deltas.dtype)
+    loss_bbox = weighted_l1_loss(flat_deltas, jnp.nan_to_num(target), w, avg)
+    return {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
+            'num_pos': assign.is_pos.sum()}

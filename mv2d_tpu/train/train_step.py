@@ -90,8 +90,38 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
 
     losses = mv2d_head_loss(out, batch.gt3d, cfg)
 
-    # ---- RPN losses (current-frame views only, ref mv2d_t.py:97-105)
     Vc = cfg.num_views if cfg.num_frames > 1 else cfg.total_views
+    if cfg.detector_type == 'single_stage':
+        # anchor-head focal + L1 losses (the single-stage detector family
+        # has no RPN/RCNN stages)
+        from ..nn.retina import retina_scales
+        H, W = cfg.image_size
+        anchors = jnp.asarray(np.concatenate(
+            [np.asarray(grid_anchors(
+                (int(np.ceil(H / s)), int(np.ceil(W / s))), s,
+                scales=retina_scales()))
+             for s in (4, 8, 16, 32, 64)], axis=0))
+        K = cfg.num_classes
+        flat_scores = jnp.concatenate(
+            [s.reshape(s.shape[0], -1, K)
+             for s in det_raw['rpn_scores']], axis=1)
+        flat_deltas = jnp.concatenate(
+            [d.reshape(d.shape[0], -1, 4)
+             for d in det_raw['rpn_deltas']], axis=1)
+        ss = jax.vmap(
+            lambda s, d, gb, gl, gv: d2l.single_stage_loss(
+                s, d, anchors, gb, gl, gv, K))(
+            flat_scores[:Vc], flat_deltas[:Vc], batch.gt2d.boxes[:Vc],
+            batch.gt2d.labels[:Vc], batch.gt2d.valid[:Vc])
+        losses['det_loss_cls'] = ss['loss_cls'].mean()
+        losses['det_loss_bbox'] = ss['loss_bbox'].mean()
+        total = sum(v for k, v in losses.items() if 'loss' in k)
+        metrics = dict(losses)
+        metrics['det_num_pos'] = ss['num_pos'].sum()
+        metrics['num_queries'] = out.query_valid.sum()
+        return total, metrics
+
+    # ---- RPN losses (current-frame views only, ref mv2d_t.py:97-105)
     anchors = _all_anchors(cfg)
     flat_scores = jnp.concatenate(
         [s.reshape(s.shape[0], -1) for s in det_raw['rpn_scores']], axis=1)

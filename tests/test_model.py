@@ -165,3 +165,41 @@ def test_mv2d_train_head_with_dn(rng):
     assert active > 0
     assert overflow == max(0, active - cfg.k_max)
     assert int(np.asarray(out.diagnostics['num_queries'])) == int(pv.sum())
+
+
+def test_mv2d_single_stage_detector_inference(rng):
+    """Single-stage detector family (ref SingleStageDetBase): the RetinaNet
+    head's detections feed the 3D head through the same Proposals
+    interface."""
+    cfg = configs.tiny(key_mode='pixel', detector_type='single_stage')
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)),
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    model = MV2D(cfg)
+    params = model.init(KEY, imgs, cam, img_shapes)
+    boxes, scores, labels, valid = model.apply(params, imgs, cam, img_shapes)
+    assert boxes.shape == (cfg.max_per_scene, 9)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_single_stage_loss_targets(rng):
+    """Anchor-head loss: a perfectly-matching anchor yields near-zero bbox
+    loss and the focal loss decreases when logits favor the right class."""
+    from mv2d_tpu.train import detector2d_loss as d2l
+    anchors = jnp.asarray([[10., 10., 50., 50.], [60., 60., 80., 80.],
+                           [0., 0., 4., 4.]])
+    gt = jnp.asarray([[10., 10., 50., 50.]])
+    gtl = jnp.asarray([2])
+    gtv = jnp.asarray([True])
+    K = 5
+    deltas = jnp.zeros((3, 4))
+    good = jnp.full((3, K), -4.0).at[0, 2].set(4.0)
+    bad = jnp.full((3, K), -4.0).at[0, 2].set(-4.0).at[0, 1].set(4.0)
+    lg = d2l.single_stage_loss(good, deltas, anchors, gt, gtl, gtv, K)
+    lb = d2l.single_stage_loss(bad, deltas, anchors, gt, gtl, gtv, K)
+    assert float(lg['loss_bbox']) < 1e-6          # exact anchor, zero deltas
+    assert float(lg['loss_cls']) < float(lb['loss_cls'])
+    assert int(lg['num_pos']) == 1
