@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -43,6 +45,23 @@ def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
     w4 = w4.reshape(4, 4, 4 * C, O)
     x2 = x.reshape(V, H // 2, 2, W // 2, 2, C)
     x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(V, H // 2, W // 2, 4 * C)
+    if os.environ.get('MV2D_STEM_GEMM'):
+        # im2col-GEMM experiment (16 shifted taps concat -> one K=192
+        # matmul): measured SLOWER in-net (train 409 -> 419 ms/scene) -
+        # XLA materializes the 830 MB cols tensor instead of fusing the
+        # concat into the matmul operand.  Kept opt-in for revival as a
+        # Pallas kernel with VMEM-resident cols.
+        H2, W2 = H // 2, W // 2
+        xp = jnp.pad(x2, ((0, 0), (2, 1), (2, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [xp[:, dy:dy + H2, dx:dx + W2, :]
+             for dy in range(4) for dx in range(4)], axis=-1)
+        out = jax.lax.dot_general(
+            cols.reshape(-1, 16 * 4 * C),
+            w4.astype(x.dtype).reshape(16 * 4 * C, O),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.reshape(V, H2, W2, O).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x2, w4.astype(x.dtype), (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

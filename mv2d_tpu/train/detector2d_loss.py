@@ -61,6 +61,21 @@ def max_iou_assign(boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
     return AssignResult(assigned.astype(jnp.int32), is_pos, is_neg, max_iou)
 
 
+def _select_gt_boxes(assigned_gt: jnp.ndarray, gt_boxes: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """gt_boxes[clip(assigned_gt)] as a one-hot matmul: a row gather of
+    180k anchor rows from the tiny GT table is descriptor-bound on TPU
+    (~1 ms/view in the train step); the [N, G] x [G, 4] matmul is free.
+    HIGHEST precision: exactly one 1.0*v term per row reconstructs v
+    exactly under bf16x3."""
+    G = gt_boxes.shape[0]
+    safe = jnp.clip(assigned_gt, 0, G - 1)
+    onehot = (safe[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
+    return jax.lax.dot_general(
+        onehot, gt_boxes.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def random_sample(rng: jax.Array, is_pos: jnp.ndarray, is_neg: jnp.ndarray,
                   num: int, pos_fraction: float
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -103,8 +118,8 @@ def rpn_loss(rng: jax.Array, flat_scores: jnp.ndarray,
     weights = sampled.astype(flat_scores.dtype)
     avg = jnp.maximum(sampled.sum().astype(jnp.float32), 1.0)
     loss_cls = binary_cross_entropy(flat_scores, labels, weights, avg)
-    safe_gt = jnp.clip(assign.assigned_gt, 0, gt_boxes.shape[0] - 1)
-    target = bbox2delta(anchors, gt_boxes[safe_gt])
+    target = bbox2delta(anchors, _select_gt_boxes(assign.assigned_gt,
+                                                  gt_boxes))
     w = pos_sel[:, None].astype(flat_deltas.dtype)
     loss_bbox = weighted_l1_loss(flat_deltas, jnp.nan_to_num(target), w, avg)
     return {'loss_rpn_cls': loss_cls, 'loss_rpn_bbox': loss_bbox,
@@ -185,7 +200,8 @@ def single_stage_loss(flat_scores: jnp.ndarray, flat_deltas: jnp.ndarray,
     avg = jnp.maximum(assign.is_pos.sum().astype(jnp.float32), 1.0)
     loss_cls = sigmoid_focal_loss(flat_scores, labels, weights,
                                   num_classes, avg_factor=avg)
-    target = bbox2delta(anchors, gt_boxes[safe_gt])
+    target = bbox2delta(anchors, _select_gt_boxes(assign.assigned_gt,
+                                                  gt_boxes))
     w = assign.is_pos[:, None].astype(flat_deltas.dtype)
     loss_bbox = weighted_l1_loss(flat_deltas, jnp.nan_to_num(target), w, avg)
     return {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
