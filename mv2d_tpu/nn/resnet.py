@@ -167,14 +167,53 @@ class ResNet(nn.Module):
         planes = 64
         for stage, n in enumerate(blocks):
             stride = 1 if stage == 0 else 2
-            for i in range(n):
-                x = block_cls(
-                    planes,
-                    stride=stride if i == 0 else 1,
-                    downsample=(i == 0),
-                    use_dcn=self.stage_with_dcn[stage],
-                    name=f'layer{stage + 1}_{i}')(x, fast_inference)
+            from ..ops import pallas_enabled
+            # opt-in experiment: the whole-stage fused band kernel measured
+            # slightly SLOWER than in-net XLA (eval 9.60 -> 9.51 s/s) -
+            # like the per-block fusion attempts, the per-tap sublane-shift
+            # relayouts + 64-lane waste cancel the HBM round-trip savings
+            if (os.environ.get('MV2D_FUSED_STAGE1')
+                    and stage == 0 and fast_inference and pallas_enabled()
+                    and not self.stage_with_dcn[0]
+                    and not self.is_initializing()
+                    and x.shape[1] % 32 == 0 and x.shape[2] >= 24
+                    and x.shape[2] % 8 == 0 and x.shape[-1] == planes):
+                # whole-stage fused band kernel (see ops/pallas_stage.py);
+                # the block submodules' params exist from init and are
+                # read + BN-folded here, so checkpoints are unaffected
+                x = self._fused_stage1(x, n, planes)
+            else:
+                for i in range(n):
+                    x = block_cls(
+                        planes,
+                        stride=stride if i == 0 else 1,
+                        downsample=(i == 0),
+                        use_dcn=self.stage_with_dcn[stage],
+                        name=f'layer{stage + 1}_{i}')(x, fast_inference)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2
         return tuple(outs)
+
+    def _fused_stage1(self, x, n, planes):
+        from ..ops.pallas_stage import fused_stage1
+
+        def fold(p, c, conv, bn):
+            k = p[conv]['kernel']
+            s = p[bn]['scale'] / jnp.sqrt(c[bn]['var'] + 1e-5)
+            return k * s, p[bn]['bias'] - c[bn]['mean'] * s
+
+        blocks = []
+        for i in range(n):
+            p = self.get_variable('params', f'layer1_{i}')
+            c = self.get_variable('constants', f'layer1_{i}')
+            k1, b1 = fold(p, c, 'conv1', 'bn1')
+            k2, b2 = fold(p, c, 'conv2', 'bn2')
+            k3, b3 = fold(p, c, 'conv3', 'bn3')
+            blk = dict(w1=k1[0, 0], b1=b1, w2=k2, b2=b2, w3=k3[0, 0], b3=b3)
+            if i == 0:
+                kd, bd = fold(p, c, 'downsample_conv', 'downsample_bn')
+                blk['wd'] = kd[0, 0]
+                blk['bd'] = bd
+            blocks.append(blk)
+        return fused_stage1(x, blocks, planes)
