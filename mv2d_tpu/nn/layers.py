@@ -19,15 +19,23 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param('scale', nn.initializers.ones,
+                                (self.features,))
+        self.offset = self.param('bias', nn.initializers.zeros,
+                                 (self.features,))
+        self.mean = self.variable('constants', 'mean',
+                                  lambda: jnp.zeros((self.features,)))
+        self.var = self.variable('constants', 'var',
+                                 lambda: jnp.ones((self.features,)))
+
+    def fold(self):
+        """(s, b) with BN(x) == x*s + b - the affine is constant (stats
+        frozen, params excluded from optimization), so it can be folded
+        into a preceding conv's weights exactly."""
+        s = self.scale / jnp.sqrt(self.var.value + self.eps)
+        return s, self.offset - self.mean.value * s
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        gamma = self.param('scale', nn.initializers.ones, (self.features,))
-        beta = self.param('bias', nn.initializers.zeros, (self.features,))
-        mean = self.variable('constants', 'mean',
-                             lambda: jnp.zeros((self.features,)))
-        var = self.variable('constants', 'var',
-                            lambda: jnp.ones((self.features,)))
-        inv = jnp.asarray(1.0, x.dtype) / jnp.sqrt(var.value + self.eps)
-        inv = inv.astype(x.dtype)
-        return (x - mean.value.astype(x.dtype)) * inv * gamma.astype(x.dtype) \
-            + beta.astype(x.dtype)
+        s, b = self.fold()
+        return x * s.astype(x.dtype) + b.astype(x.dtype)

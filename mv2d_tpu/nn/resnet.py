@@ -67,6 +67,30 @@ def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+class FoldedConv(nn.Module):
+    """Conv with a frozen-BN affine folded into its weights: y = conv(x;
+    kernel * s) + b.  Param-tree compatible with nn.Conv(use_bias=False)
+    (same 'kernel' name/shape/init), so checkpoints are unaffected; the
+    fold is exact (the BN stats are constants and its affine params are
+    excluded from optimization) and removes the separate [V, H, W, C]
+    elementwise pass + its backward reductions (~8 ms/train-step)."""
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, s, b):
+        kh, kw = self.kernel_size
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features))
+        k = (k * s).astype(x.dtype)
+        pad = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
+        y = jax.lax.conv_general_dilated(
+            x, k, (self.stride, self.stride), pad,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + b.astype(y.dtype)
+
+
 class Bottleneck(nn.Module):
     planes: int            # bottleneck width; out channels = planes * 4
     stride: int = 1
@@ -111,27 +135,29 @@ class Bottleneck(nn.Module):
                 and not self.is_initializing()):
             return self._fused_inference(x)
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
-        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        s1, b1 = FrozenBatchNorm(self.planes, name='bn1').fold()
+        out = FoldedConv(self.planes, (1, 1), name='conv1')(x, s1, b1)
         out = nn.relu(out)
         if self.use_dcn:
+            # the deformable conv keeps its separate BN (the tap-weight
+            # contraction lives inside the DCN op)
             out = ModulatedDeformConv(self.planes, 3, self.stride,
                                       name='conv2')(out,
                                                     use_pallas=fast_inference)
+            out = FrozenBatchNorm(self.planes, name='bn2')(out)
         else:
-            out = nn.Conv(self.planes, (3, 3), strides=self.stride,
-                          padding=[(1, 1)] * 2, use_bias=False,
-                          name='conv2')(out)
-        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+            s2, b2 = FrozenBatchNorm(self.planes, name='bn2').fold()
+            out = FoldedConv(self.planes, (3, 3), stride=self.stride,
+                             name='conv2')(out, s2, b2)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name='conv3')(out)
-        out = FrozenBatchNorm(self.planes * 4, name='bn3')(out)
+        s3, b3 = FrozenBatchNorm(self.planes * 4, name='bn3').fold()
+        out = FoldedConv(self.planes * 4, (1, 1), name='conv3')(out, s3, b3)
         if self.downsample:
-            identity = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
-                               use_bias=False, name='downsample_conv')(x)
-            identity = FrozenBatchNorm(self.planes * 4,
-                                       name='downsample_bn')(identity)
+            sd, bd = FrozenBatchNorm(self.planes * 4,
+                                     name='downsample_bn').fold()
+            identity = FoldedConv(self.planes * 4, (1, 1),
+                                  stride=self.stride,
+                                  name='downsample_conv')(x, sd, bd)
         return nn.relu(out + identity)
 
 
@@ -152,15 +178,17 @@ class ResNet(nn.Module):
         # (arg 0 is the module instance in linen's checkpointed call)
         block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
                      if self.remat else Bottleneck)
+        s_bn, b_bn = FrozenBatchNorm(64, name='stem_bn').fold()
         if (self.is_initializing() or x.shape[1] % 2 or x.shape[2] % 2
                 or x.shape[3] != 3):
             x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
                         use_bias=False, name='stem_conv')(x)
+            x = x * s_bn.astype(x.dtype) + b_bn.astype(x.dtype)
         else:
-            # same parameter, space-to-depth form (see s2d_stem_conv)
-            x = s2d_stem_conv(
-                x, self.get_variable('params', 'stem_conv')['kernel'])
-        x = FrozenBatchNorm(64, name='stem_bn')(x)
+            # same parameter, space-to-depth form (see s2d_stem_conv),
+            # frozen-BN affine folded into the kernel
+            k = self.get_variable('params', 'stem_conv')['kernel']
+            x = s2d_stem_conv(x, k * s_bn) + b_bn.astype(x.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         outs = []

@@ -101,18 +101,16 @@ class ModulatedDeformConv(nn.Module):
         if K == 3 and C % 128 == 0 and pallas_enabled():
             # training path on TPU: differentiable band sampling (custom
             # VJP; the backward is the transposed band algebra - one MXU
-            # dot per segment instead of XLA scatter-adds), tap-weight
-            # contraction left to XLA so dw/dsamples are plain matmuls
-            from .pallas_dcn import dcn_modulated_samples
-            samples = dcn_modulated_samples(
+            # dot per segment instead of XLA scatter-adds); the tap-weight
+            # contraction runs per tap in the sampler's NATIVE layout
+            # (plain XLA dots, so dw/dsamples stay matmuls) and only the
+            # F-wide output is un-permuted - the former (V, Ho, Wo, 9C)
+            # sample transpose cost ~12 ms/step of data formatting
+            from .pallas_dcn import dcn_modulated_conv_train
+            return dcn_modulated_conv_train(
                 x, sy.astype(jnp.float32), sx.astype(jnp.float32),
-                mask.astype(jnp.float32), stride=self.stride)
-            return jax.lax.dot_general(
-                samples.astype(x.dtype).reshape(V * Ho * Wo, K * K * C),
-                w.astype(x.dtype).reshape(K * K * C, self.features),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32
-            ).reshape(V, Ho, Wo, self.features).astype(x.dtype)
+                mask.astype(jnp.float32), w.astype(x.dtype),
+                stride=self.stride).astype(x.dtype)
         P = Ho * Wo * K * K
         samples = _dense_bilinear(x, sx.reshape(V, P), sy.reshape(V, P))
         samples = samples.reshape(V, Ho, Wo, K * K, C)

@@ -296,6 +296,68 @@ def dcn_modulated_samples(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     return samples.reshape(V, Ho, Wo, 9 * C)
 
 
+def dcn_modulated_conv_train(x: jnp.ndarray, sy: jnp.ndarray,
+                             sx: jnp.ndarray, m: jnp.ndarray,
+                             w: jnp.ndarray, stride: int = 1,
+                             overflow_bucket: int = 2048,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """DIFFERENTIABLE band-kernel DCN with the tap-weight contraction
+    reordered around the sampler's NATIVE layout (training path).
+
+    dcn_modulated_samples transposes the [V, nb, 9, nsg, RB, SW, C]
+    kernel output into (V, Ho, Wo, 9C) before the weight dot - ~156 MB of
+    relayout per stage-3 layer, again in the backward (~12 ms/step of
+    'data formatting' in the train profile).  Here the contraction runs
+    per tap directly on the kernel layout (9 sliced [N, C] @ [C, F] dots,
+    no sample transpose) and only the F-wide OUTPUT is un-permuted (9x
+    less data).  Out-of-band overflow samples are contracted separately
+    and scatter-added into the output (bounded, <= overflow_bucket rows).
+    x: [V, H, W, C]; sy/sx/m: [V, Ho, Wo, 9]; w: [9*C? or (9, C, F)] ->
+    [V, Ho, Wo, F].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    xp, psy, psx, pm, dims, over_info = _geometry(x, sy, sx, m, stride)
+    V, C = dims['V'], dims['C']
+    Ho, Wo, nb, nsg = dims['Ho'], dims['Wo'], dims['nb'], dims['nsg']
+    Hop, Wop = dims['Hop'], dims['Wop']
+    w9 = w.reshape(9, C, -1)
+    F = w9.shape[-1]
+    raw = _make_band_sample(stride, dims['bh'], dims['ww'], interpret)(
+        xp, psy, psx, pm)                      # [V*nb, 9, nsg*RB*SW, C]
+    N = raw.shape[0] * raw.shape[2]
+    acc = None
+    for t in range(9):
+        part = jax.lax.dot_general(
+            raw[:, t].reshape(N, C), w9[t].astype(raw.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y = acc.reshape(V, nb, nsg, RB, SW, F)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
+    y = y.astype(x.dtype)
+
+    if overflow_bucket > 0:
+        sel, flat_over, P = _overflow_select(dims, over_info,
+                                             overflow_bucket)
+        vals = _overflow_values(x, dims, over_info, sel, flat_over)
+        tap = sel % 9
+        contrib = None
+        for t in range(9):
+            sm = (tap == t).astype(vals.dtype)[:, None]
+            part = jax.lax.dot_general(
+                (vals * sm).astype(x.dtype), w9[t].astype(x.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = part if contrib is None else contrib + part
+        # sentinel slots have sel == P -> pixel index V*Ho*Wo (OOB) -> drop
+        flat = y.reshape(V * Ho * Wo, F)
+        flat = flat.at[sel // 9].add(contrib.astype(flat.dtype),
+                                     mode='drop')
+        y = flat.reshape(V, Ho, Wo, F)
+    return y
+
+
 def _cell_coords(bh, ww):
     J = bh * ww
     jj = np.arange(J)

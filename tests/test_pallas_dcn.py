@@ -143,3 +143,49 @@ def test_band_sampling_grads_match_gather(stride, shape, off_scale):
     for a, b, nm in zip(gb, gr, ['dx', 'dsy', 'dsx', 'dm']):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def test_dcn_modulated_conv_train_matches_reference(rng):
+    """Reordered-contraction training DCN: output and gradients match the
+    dense-gather reference einsum (values + grads to x, offsets, mask, w)."""
+    import jax
+    from mv2d_tpu.ops.dcn import _dense_bilinear
+    from mv2d_tpu.ops.pallas_dcn import dcn_modulated_conv_train
+
+    V, H, W, C, F = 2, 16, 24, 8, 16
+    Ho, Wo = H, W
+    x = jnp.asarray(rng.normal(size=(V, H, W, C)), jnp.float32)
+    base_y = jnp.arange(H, dtype=jnp.float32)[:, None, None] + \
+        jnp.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.float32)
+    base_x = jnp.arange(W, dtype=jnp.float32)[None, :, None] + \
+        jnp.asarray([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.float32)
+    off = rng.normal(0, 2.0, (V, Ho, Wo, 9, 2)).astype(np.float32)
+    off[0, 3, 4, 2] = (25.0, -9.0)        # far out-of-band -> overflow path
+    sy = jnp.asarray(base_y[None] + off[..., 0])
+    sx = jnp.asarray(base_x[None] + off[..., 1])
+    m = jnp.asarray(rng.uniform(0.2, 1.0, (V, Ho, Wo, 9)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(9, C, F)), jnp.float32)
+
+    def ref(x_, sy_, sx_, m_, w_):
+        P = Ho * Wo * 9
+        s = _dense_bilinear(x_, sx_.reshape(V, P), sy_.reshape(V, P))
+        s = s.reshape(V, Ho, Wo, 9, C) * m_[..., None]
+        return jnp.einsum('vhwkc,kcf->vhwf', s, w_)
+
+    def new(x_, sy_, sx_, m_, w_):
+        return dcn_modulated_conv_train(x_, sy_, sx_, m_, w_,
+                                        interpret=True)
+
+    want = ref(x, sy, sx, m, w)
+    got = new(x, sy, sx, m, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    cot = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+    g_ref = jax.grad(lambda *a: (ref(*a) * cot).sum(),
+                     argnums=(0, 1, 2, 3, 4))(x, sy, sx, m, w)
+    g_new = jax.grad(lambda *a: (new(*a) * cot).sum(),
+                     argnums=(0, 1, 2, 3, 4))(x, sy, sx, m, w)
+    for a, b, nm in zip(g_new, g_ref, 'x sy sx m w'.split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2, err_msg=nm)
