@@ -35,10 +35,9 @@ def _load_native():
     global _clib
     if _clib is not None:
         return _clib
-    path = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
-                        "csrc", "build", "libmv2d_host.so")
-    path = os.path.abspath(path)
-    if os.path.exists(path):
+    from ..utils.native_build import ensure_built
+    path = ensure_built()
+    if path:
         try:
             lib = ctypes.CDLL(path)
             lib.lap_solve.argtypes = [

@@ -322,10 +322,9 @@ def _load_native():
     global _native
     if _native is not None:
         return _native
-    path = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
-                                        os.pardir, 'csrc', 'build',
-                                        'libmv2d_host.so'))
-    if os.path.exists(path):
+    from ..utils.native_build import ensure_built
+    path = ensure_built()
+    if path:
         try:
             lib = ctypes.CDLL(path)
             lib.preprocess_views.argtypes = [

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+
 def _upsample_nearest_2x(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     v, h, w, c = x.shape
     th, tw = like.shape[1], like.shape[2]

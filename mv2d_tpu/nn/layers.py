@@ -2,8 +2,44 @@
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def conv1x1_dot(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
+                stride: int = 1) -> jnp.ndarray:
+    """1x1 conv as reshape + matmul.
+
+    XLA's conv lowering runs small-C 1x1 convs at <10% MXU on v5e (layer1
+    conv3 measured 1.35 ms vs a 0.43 ms bandwidth floor); the explicit dot
+    form measured ~1 ms faster standalone (tools/conv_experiments.py).
+    kernel is [1, 1, C, O] (nn.Conv layout) or [C, O]."""
+    if stride != 1:
+        x = x[:, ::stride, ::stride, :]
+    c = x.shape[-1]
+    w = kernel.reshape(c, -1).astype(x.dtype)
+    y = jax.lax.dot_general(x.reshape(-1, c), w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype).reshape(*x.shape[:-1], w.shape[-1])
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+class Conv1x1(nn.Module):
+    """Drop-in for nn.Conv(features, (1, 1)): same param tree (kernel
+    [1, 1, C, O] + bias [O]), dot-form compute (see conv1x1_dot)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (1, 1, x.shape[-1], self.features))
+        b = (self.param('bias', nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return conv1x1_dot(x, k, b)
 
 
 class FrozenBatchNorm(nn.Module):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.dcn import ModulatedDeformConv
-from .layers import FrozenBatchNorm
+from .layers import FrozenBatchNorm, conv1x1_dot
 
 STAGE_BLOCKS = {
     10: (1, 1, 1, 1),   # miniature bottleneck net for tests/dry-runs
@@ -84,6 +84,12 @@ class FoldedConv(nn.Module):
         k = self.param('kernel', nn.initializers.lecun_normal(),
                        (kh, kw, x.shape[-1], self.features))
         k = (k * s).astype(x.dtype)
+        if (kh, kw) == (1, 1) and os.environ.get('MV2D_BACKBONE_1X1_DOT'):
+            # dot form won standalone (~3x off the bandwidth floor,
+            # tools/conv_experiments.py) but LOSES in-net: the reshape
+            # breaks XLA's cross-conv layout chaining (bench 9.64 -> 8.4
+            # with it on). Opt-in for future revival.
+            return conv1x1_dot(x, k, b, stride=self.stride)
         pad = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
         y = jax.lax.conv_general_dilated(
             x, k, (self.stride, self.stride), pad,
