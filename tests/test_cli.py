@@ -76,3 +76,71 @@ def test_calibrate_buckets_cli(tmp_path):
     assert 'model.overrides.k_max=' in r.stdout
     assert 'model.overrides.max_gt=' in r.stdout
     assert 'key-pixel union' in r.stdout
+
+
+def test_update_data_coords_cli(tmp_path):
+    import pickle
+    old = {'infos': [{'gt_boxes': np.array([[1., 2., 0., 2.0, 4.0, 1.5,
+                                             0.3]]),
+                      'timestamp': 0}],
+           'metadata': {}}
+    src = str(tmp_path / 'old.pkl')
+    dst = str(tmp_path / 'new.pkl')
+    with open(src, 'wb') as f:
+        pickle.dump(old, f)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'misc.py'),
+         'update_data_coords', src, dst],
+        env=_env(), capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(dst, 'rb') as f:
+        out = pickle.load(f)
+    gt = out['infos'][0]['gt_boxes'][0]
+    # dims swapped w,l -> l,w; yaw = -old - pi/2
+    np.testing.assert_allclose(gt[3:6], [4.0, 2.0, 1.5])
+    np.testing.assert_allclose(gt[6], -0.3 - np.pi / 2)
+    assert out['metadata']['coord_version'] == '1.0'
+    # idempotent: migrating the migrated file is a no-op
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'misc.py'),
+         'update_data_coords', dst, str(tmp_path / 'new2.pkl')],
+        env=_env(), capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and 'already' in r.stdout
+
+
+def test_fuse_conv_bn_cli(tmp_path):
+    import orbax.checkpoint as ocp
+    ckpt = {
+        'params': {'backbone': {
+            'layer1_0': {
+                'conv1': {'kernel': np.full((1, 1, 2, 2), 2.0, np.float32)},
+                'bn1': {'scale': np.array([2.0, 1.0], np.float32),
+                        'bias': np.array([0.5, 0.0], np.float32)},
+            },
+        }},
+        'constants': {'backbone': {
+            'layer1_0': {
+                'bn1': {'mean': np.array([1.0, 0.0], np.float32),
+                        'var': np.array([4.0, 1.0], np.float32)},
+            },
+        }},
+    }
+    src = str(tmp_path / 'src')
+    ocp.StandardCheckpointer().save(src, ckpt)
+    dst = str(tmp_path / 'dst')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'misc.py'),
+         'fuse_conv_bn', src, dst],
+        env=_env(), capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = ocp.StandardCheckpointer().restore(os.path.abspath(dst))
+    blk = out['params']['backbone']['layer1_0']
+    cblk = out['constants']['backbone']['layer1_0']
+    s = 2.0 / np.sqrt(4.0 + 1e-5)
+    np.testing.assert_allclose(blk['conv1']['kernel'][..., 0], 2.0 * s,
+                               rtol=1e-6)
+    np.testing.assert_allclose(blk['bn1']['bias'], [0.5 - 1.0 * s, 0.0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(blk['bn1']['scale'], [1.0, 1.0])
+    np.testing.assert_allclose(cblk['bn1']['mean'], [0.0, 0.0])
+    np.testing.assert_allclose(cblk['bn1']['var'], [1.0, 1.0])
