@@ -149,6 +149,21 @@ def center2lidar(center_pred: jnp.ndarray, virtual_K: jnp.ndarray,
     return out[:, :3]
 
 
+def points_img2cam(points: jnp.ndarray, cam2img: jnp.ndarray) -> jnp.ndarray:
+    """Unproject 2.5D image points (u, v, depth) to camera-frame xyz.
+
+    Matches the reference's points_img2cam (core/bbox/util.py:4-35):
+    homogeneous unprojection through the padded 4x4 intrinsic's inverse.
+    points: [N, 3]; cam2img: [3, 3], [3, 4] or [4, 4].  Returns [N, 3].
+    """
+    pad = jnp.eye(4, dtype=points.dtype)
+    pad = pad.at[:cam2img.shape[0], :cam2img.shape[1]].set(cam2img)
+    xys = points[:, :2] * points[:, 2:3]
+    homo = jnp.concatenate([xys, points[:, 2:3],
+                            jnp.ones_like(points[:, :1])], axis=1)
+    return (homo @ jnp.linalg.inv(pad).T)[:, :3]
+
+
 def normalize_points(points: jnp.ndarray, pc_range: Sequence[float]) -> jnp.ndarray:
     """Map lidar xyz into [0,1]^3 over pc_range (ref: mv2d_head.py:128-134)."""
     lo = jnp.asarray(pc_range[:3], dtype=points.dtype)

@@ -23,6 +23,7 @@ uses the differentiable XLA gather align.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -497,6 +498,96 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
             out_ref[0] = full.astype(out_ref.dtype)
 
 
+def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
+                    x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
+                    scat_ref, stacked_ref, out_ref, slab, sem, *,
+                    nr: int, spv: int, sizes, O: int, S: int):
+    """Fat-step body: the per-RoI hat-weight builds are BATCHED over the
+    step's RoIs from a VMEM scalar block (scat_ref [1, nr, 11]) instead of
+    an unrolled per-RoI python loop - the unrolled form's ~30 tiny [O, ph]
+    VPU ops x nr made per-step cost superlinear in nr (nr=16 measured 42 ms
+    vs 25 @ nr=8 for 12k RoIs), capping steps at nr=8.  Large passes chunk
+    within the step to bound the stacked-patch registers."""
+    v = pl.program_id(0)
+    i = pl.program_id(1)
+    base = (v * spv + i) * nr
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(stacked_ref.at[v], slab, sem)
+        cp.start()
+        cp.wait()
+
+    sp = step_pass_ref[v * spv + i]
+
+    @pl.when(sp >= len(sizes))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    # chunk sizes bound per-chunk patch registers to <= nr*16*24*C
+    for p, ph in enumerate(sizes):
+        pw = ph + 8
+        nrc = max(min(nr, (16 * 24 * nr) // (ph * pw)), 1)
+        while nr % nrc:
+            nrc -= 1
+
+        @pl.when(sp == p)
+        def _(ph=ph, pw=pw, nrc=nrc):
+            qio = jax.lax.broadcasted_iota(
+                jnp.int32, (1, O, 1), 1).astype(jnp.float32)
+            cell_y = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, ph), 2).astype(jnp.float32)
+            cell_x = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, pw), 2).astype(jnp.float32)
+            for chunk in range(nr // nrc):
+                cbase = base + chunk * nrc
+                svb = scat_ref[0, pl.ds(chunk * nrc, nrc), :]  # [nrc, 11]
+
+                def col(k):
+                    return svb[:, k][:, None, None]
+                act = (col(2) > 0).astype(jnp.float32)
+                y1, x1 = col(3), col(4)
+                bh, bw = col(5), col(6)
+                H, W = col(7), col(8)
+                oy, ox = col(9), col(1)
+                by = jnp.zeros((nrc, O, ph), jnp.float32)
+                bx = jnp.zeros((nrc, O, pw), jnp.float32)
+                for s in range(S):
+                    frac = (s + 0.5) / S
+                    ys = y1 + (qio + frac) * bh           # [nrc, O, 1]
+                    xs = x1 + (qio + frac) * bw
+                    # act folded into the [nrc, O, 1] sample mask: Mosaic
+                    # rejects a (1,1)->(O,ph) sublane+lane broadcast
+                    in_y = ((ys > -1.0) & (ys < H)).astype(jnp.float32) * act
+                    in_x = ((xs > -1.0) & (xs < W)).astype(jnp.float32)
+                    ys = jnp.clip(ys, 0.0, H - 1) - oy
+                    xs = jnp.clip(xs, 0.0, W - 1) - ox
+                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
+                                          0.0) * in_y
+                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
+                                          0.0) * in_x
+                By = by * (1.0 / S)
+                Bx = bx * (1.0 / S)
+                pats = [slab[pl.ds(row_ref[cbase + j], ph),
+                             pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
+                                   pw), :] for j in range(nrc)]
+                patches = jnp.stack(pats)                 # [nrc, ph, pw, C]
+                dt = patches.dtype
+                C = patches.shape[-1]
+                tmp = jax.lax.dot_general(
+                    By.astype(dt), patches.reshape(nrc, ph, pw * C),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, Oy, pw*C]
+                tmp = tmp.reshape(nrc, O, pw, C).astype(dt)
+                tmp = tmp.transpose(0, 2, 1, 3).reshape(nrc, pw, O * C)
+                full = jax.lax.dot_general(
+                    Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, Ox, Oy*C]
+                full = full.reshape(nrc, O, O, C).transpose(0, 2, 1, 3)
+                out_ref[0, pl.ds(chunk * nrc, nrc)] = full.astype(
+                    out_ref.dtype)
+
+
 def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                            strides: Sequence[int], output_size: int = 7,
                            sampling_ratio: int = 2,
@@ -504,7 +595,8 @@ def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                            rois_per_step: int = 8,
                            overflow_bucket: int = 256,
                            interpret: bool | None = None,
-                           compacted: bool = False):
+                           compacted: bool = False,
+                           v2: bool | None = None):
     """RoIAlign for per-view proposal tensors: rois [V, P, 4] -> output
     [V, P, O, O, C].  Inference only (zero tangents).
 
@@ -531,8 +623,10 @@ def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
             return out, jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32),
                                          (V, P))
         return out
+    if v2 is None:
+        v2 = os.environ.get('MV2D_ALIGN_V2', '0') == '1'
     fn = _make_prv(tuple(strides), output_size, sampling_ratio, finest_scale,
-                   rois_per_step, overflow_bucket, interpret, compacted)
+                   rois_per_step, overflow_bucket, interpret, compacted, v2)
     if compacted:
         out, posf = fn(tuple(feats), rois)
         return out, posf.astype(jnp.int32)
@@ -541,12 +635,13 @@ def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
 
 @functools.lru_cache(maxsize=None)
 def _make_prv(strides, output_size, sampling_ratio, finest_scale,
-              rois_per_step, overflow_bucket, interpret, compacted=False):
+              rois_per_step, overflow_bucket, interpret, compacted=False,
+              v2=False):
     @jax.custom_jvp
     def f(feats, rois):
         return _prv_impl(feats, rois, strides, output_size, sampling_ratio,
                          finest_scale, rois_per_step, overflow_bucket,
-                         interpret, compacted)
+                         interpret, compacted, v2)
 
     @f.defjvp
     def _jvp(primals, tangents):
@@ -665,12 +760,13 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
     step_pass = spass.reshape(V, spv, nr).min(axis=2).reshape(-1)
     return dict(lvl=lvl, pass_id=pass_id, pos=pos, Pp=Pp, spv=spv,
                 Wmax=Wmax, Hslab=Hslab, row_offs=row_offs,
-                Hs_c=Hs_c, Ws_c=Ws_c, args=args, step_pass=step_pass)
+                Hs_c=Hs_c, Ws_c=Ws_c, args=args, step_pass=step_pass,
+                scat_all=scat_all)
 
 
 def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
               finest_scale, rois_per_step, overflow_bucket, interpret,
-              compacted=False):
+              compacted=False, v2=False):
     V, _, _, C = feats[0].shape
     P = rois.shape[1]
     nr = rois_per_step
@@ -695,25 +791,50 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
                                     (0, 0), (0, 0)))
     Hslab = stacked.shape[1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(V, spv),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, nr, O, O, C),
-                               lambda v, i, *_: (v, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), stacked.dtype),
-                        pltpu.SemaphoreType.DMA],
-    )
-    out_s = pl.pallas_call(
-        functools.partial(_kernel_slab, nr=nr, spv=spv, sizes=PASS_SIZES,
-                          O=O, S=S),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-    )(step_pass, *args, stacked)
+    if v2:
+        scat_r = g['scat_all'].reshape(V * spv, nr, 11)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
+            grid=(V, spv),
+            in_specs=[pl.BlockSpec((1, nr, 11),
+                                   lambda v, i, *_: (v * spv + i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, nr, O, O, C),
+                                   lambda v, i, *_: (v, i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), stacked.dtype),
+                            pltpu.SemaphoreType.DMA],
+        )
+        out_s = pl.pallas_call(
+            functools.partial(_kernel_slab_v2, nr=nr, spv=spv,
+                              sizes=PASS_SIZES, O=O, S=S),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )(step_pass, *args, scat_r, stacked)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
+            grid=(V, spv),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, nr, O, O, C),
+                                   lambda v, i, *_: (v, i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), stacked.dtype),
+                            pltpu.SemaphoreType.DMA],
+        )
+        out_s = pl.pallas_call(
+            functools.partial(_kernel_slab, nr=nr, spv=spv, sizes=PASS_SIZES,
+                              O=O, S=S),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )(step_pass, *args, stacked)
     out_s = out_s.reshape(V, Pp, O, O, C)
     if not compacted:
         out = jnp.take_along_axis(out_s, pos[:, :, None, None, None], 1)
@@ -842,8 +963,91 @@ def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                               :] += w[j]
 
 
+def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
+                        x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
+                        scat_ref, dout_ref, dslab_ref, *, nr: int, spv: int,
+                        sizes, O: int, S: int):
+    """Batched-hat version of _kernel_slab_bwd (see _kernel_slab_v2)."""
+    v = pl.program_id(1)
+    i = pl.program_id(2)
+    base = (v * spv + i) * nr
+
+    @pl.when(i == 0)
+    def _():
+        dslab_ref[:] = jnp.zeros_like(dslab_ref)
+
+    sp = step_pass_ref[v * spv + i]
+
+    for p, ph in enumerate(sizes):
+        pw = ph + 8
+        nrc = max(min(nr, (16 * 24 * nr) // (ph * pw)), 1)
+        while nr % nrc:
+            nrc -= 1
+
+        @pl.when(sp == p)
+        def _(ph=ph, pw=pw, nrc=nrc):
+            qio = jax.lax.broadcasted_iota(
+                jnp.int32, (1, O, 1), 1).astype(jnp.float32)
+            cell_y = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, ph), 2).astype(jnp.float32)
+            cell_x = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, pw), 2).astype(jnp.float32)
+            for chunk in range(nr // nrc):
+                cbase = base + chunk * nrc
+                svb = scat_ref[0, pl.ds(chunk * nrc, nrc), :]
+
+                def col(k):
+                    return svb[:, k][:, None, None]
+                act = (col(2) > 0).astype(jnp.float32)
+                y1, x1 = col(3), col(4)
+                bh, bw = col(5), col(6)
+                H, W = col(7), col(8)
+                oy, ox = col(9), col(1)
+                by = jnp.zeros((nrc, O, ph), jnp.float32)
+                bx = jnp.zeros((nrc, O, pw), jnp.float32)
+                for s in range(S):
+                    frac = (s + 0.5) / S
+                    ys = y1 + (qio + frac) * bh
+                    xs = x1 + (qio + frac) * bw
+                    # act folded into the [nrc, O, 1] sample mask (Mosaic
+                    # broadcast constraint, see _kernel_slab_v2)
+                    in_y = ((ys > -1.0) & (ys < H)).astype(jnp.float32) * act
+                    in_x = ((xs > -1.0) & (xs < W)).astype(jnp.float32)
+                    ys = jnp.clip(ys, 0.0, H - 1) - oy
+                    xs = jnp.clip(xs, 0.0, W - 1) - ox
+                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
+                                          0.0) * in_y
+                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
+                                          0.0) * in_x
+                By = by * (1.0 / S)
+                Bx = bx * (1.0 / S)
+
+                dout = dout_ref[0, pl.ds(chunk * nrc, nrc)].astype(
+                    jnp.float32)                      # [nrc, O, O, Cb]
+                Cb = dout.shape[-1]
+                u = jax.lax.dot_general(
+                    By, dout.reshape(nrc, O, O * Cb),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [nrc, ph, O*Cb]
+                u = u.reshape(nrc, ph, O, Cb).transpose(0, 2, 1, 3)
+                u = u.reshape(nrc, O, ph * Cb)
+                w = jax.lax.dot_general(
+                    Bx, u, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [nrc, pw, ph*Cb]
+                w = w.reshape(nrc, pw, ph, Cb).transpose(0, 2, 1, 3)
+
+                for j in range(nrc):
+                    @pl.when(active_ref[cbase + j] > 0)
+                    def _(j=j):
+                        dslab_ref[0,
+                                  pl.ds(row_ref[cbase + j], ph),
+                                  pl.ds(pl.multiple_of(px_ref[cbase + j],
+                                                       8), pw),
+                                  :] += w[j]
+
+
 def _prv_bwd_impl(dout_s, rois, dims, strides, output_size, sampling_ratio,
-                  finest_scale, nr, interpret):
+                  finest_scale, nr, interpret, v2=False):
     """dout_s [V, Pp, O, O, C] (compacted slot order) -> per-level
     dFeat [V, H_l, W_l, C] f32 list."""
     V, Pp, O, _, C = dout_s.shape
@@ -855,17 +1059,26 @@ def _prv_bwd_impl(dout_s, rois, dims, strides, output_size, sampling_ratio,
         Cb //= 2
     csplit = C // Cb
 
+    in_specs = [pl.BlockSpec((1, nr, O, O, Cb),
+                             lambda c, v, i, *_: (v, i, 0, 0, c))]
+    inputs = [dout_s]
+    kern = _kernel_slab_bwd
+    if v2:
+        in_specs = [pl.BlockSpec((1, nr, 11),
+                                 lambda c, v, i, *_: (v * spv + i, 0, 0),
+                                 memory_space=pltpu.VMEM)] + in_specs
+        inputs = [g['scat_all'].reshape(V * spv, nr, 11)] + inputs
+        kern = _kernel_slab_bwd_v2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
         grid=(csplit, V, spv),
-        in_specs=[pl.BlockSpec((1, nr, O, O, Cb),
-                               lambda c, v, i, *_: (v, i, 0, 0, c))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hslab, Wmax, Cb),
                                lambda c, v, i, *_: (v, 0, 0, c),
                                memory_space=pltpu.VMEM),
     )
     dstacked = pl.pallas_call(
-        functools.partial(_kernel_slab_bwd, nr=nr, spv=spv,
+        functools.partial(kern, nr=nr, spv=spv,
                           sizes=PASS_SIZES, O=O, S=sampling_ratio),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((V, Hslab, Wmax, C), jnp.float32),
@@ -873,19 +1086,19 @@ def _prv_bwd_impl(dout_s, rois, dims, strides, output_size, sampling_ratio,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
-    )(g['step_pass'], *g['args'], dout_s)
+    )(g['step_pass'], *g['args'], *inputs)
     return [dstacked[:, ro:ro + Hl, :Wl, :]
             for (Hl, Wl), ro in zip(dims, g['row_offs'])]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_prv_train(strides, output_size, sampling_ratio, finest_scale,
-                    rois_per_step, interpret, dims, dtypes):
+                    rois_per_step, interpret, dims, dtypes, v2=False):
     @jax.custom_vjp
     def f(feats, rois):
         return _prv_impl(feats, rois, strides, output_size, sampling_ratio,
                          finest_scale, rois_per_step, 0, interpret,
-                         compacted=True)
+                         compacted=True, v2=v2)
 
     def fwd(feats, rois):
         return f(feats, rois), rois
@@ -894,7 +1107,7 @@ def _make_prv_train(strides, output_size, sampling_ratio, finest_scale,
         dout_s, _ = g                                 # pos takes no grad
         dfeats = _prv_bwd_impl(dout_s, rois, dims, strides, output_size,
                                sampling_ratio, finest_scale, rois_per_step,
-                               interpret)
+                               interpret, v2=v2)
         return (tuple(df.astype(dt) for df, dt in zip(dfeats, dtypes)),
                 jnp.zeros_like(rois))
 
@@ -910,7 +1123,8 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
                                  finest_scale: float = 56.0,
                                  rois_per_step: int = 8,
                                  overflow_bucket: int = 128,
-                                 interpret: bool | None = None):
+                                 interpret: bool | None = None,
+                                 v2: bool | None = None):
     """DIFFERENTIABLE slab RoIAlign for view-uniform training RoIs.
 
     feats: per-level [V, H, W, C]; rois [V, P, 4] image pixels.  Returns
@@ -936,9 +1150,11 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
                 jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (V, P)))
     dims = tuple((f.shape[1], f.shape[2]) for f in feats)
     dtypes = tuple(f.dtype for f in feats)
+    if v2 is None:
+        v2 = os.environ.get('MV2D_ALIGN_V2', '0') == '1'
     fn = _make_prv_train(tuple(strides), output_size, sampling_ratio,
                          finest_scale, rois_per_step, interpret, dims,
-                         dtypes)
+                         dtypes, v2)
     out_s, posf = fn(tuple(feats), rois)
     pos = jax.lax.stop_gradient(posf).astype(jnp.int32)
     C = out_s.shape[-1]

@@ -55,6 +55,15 @@ def test_train_and_test_cli(tmp_path):
     assert 'training done' in r.stdout
     assert os.path.exists(os.path.join(work, 'epoch_1'))
 
+    # --auto-resume picks up the latest epoch_* checkpoint in work-dir
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'train.py'), cfg_path,
+         '--work-dir', work, '--max-steps', '1', '--auto-resume'],
+        env=_env(), capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'resumed from' in r.stdout
+    assert 'epoch_1' in r.stdout
+
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'test.py'), cfg_path,
          '--max-samples', '2', '--out', str(tmp_path / 'res.json')],

@@ -129,3 +129,18 @@ def test_normalize_points_roundtrip(rng):
     n = G.normalize_points(pts, pc_range)
     rec = G.denormalize_points(n, pc_range)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(pts), atol=1e-4)
+
+
+def test_points_img2cam_roundtrip(rng):
+    # project camera points through K, then unproject back
+    K = np.eye(4)
+    K[0, 0], K[1, 1] = 1200.0, 1180.0
+    K[0, 2], K[1, 2] = 700.0, 250.0
+    xyz = rng.uniform(1.0, 40.0, (20, 3))
+    uvd = (K[:3, :3] @ xyz.T).T
+    uvd = np.concatenate([uvd[:, :2] / uvd[:, 2:3], uvd[:, 2:3]], axis=1)
+    for shp in [(3, 3), (3, 4), (4, 4)]:
+        out = G.points_img2cam(jnp.asarray(uvd, jnp.float32),
+                               jnp.asarray(K[:shp[0], :shp[1]], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), xyz, rtol=1e-3,
+                                   atol=1e-2)

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mv2d_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
 from mv2d_tpu.ops.roi_align import multilevel_roi_align
@@ -156,3 +157,23 @@ def test_pallas_align_views_train_grad(rng):
     for a, b in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('nr', [8, 16])
+def test_pallas_align_views_v2_fat_steps(rng, nr):
+    """v2 batched-hat body with in-step chunking (big passes chunk to
+    bound per-chunk registers) matches the XLA oracle at fat nr."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    V, P = 2, 40
+    xy = rng.uniform(0, 250, (V, P, 2))
+    wh = rng.uniform(4, 380, (V, P, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, strides)
+    got = pallas_roi_align_views(feats, rois, strides, rois_per_step=nr,
+                                 interpret=True, v2=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)

@@ -27,6 +27,8 @@ def parse_args():
     p.add_argument('config')
     p.add_argument('--work-dir', default='work_dirs/default')
     p.add_argument('--resume-from', default=None)
+    p.add_argument('--auto-resume', action='store_true',
+                   help='resume from the latest epoch_* ckpt in --work-dir')
     p.add_argument('--load-from', default=None,
                    help='torch .pth or orbax params to initialize from')
     p.add_argument('--seed', type=int, default=0)
@@ -103,10 +105,24 @@ def main():
                         clip_norm=opt_cfg.get('clip_norm', 35.0))
     state = init_train_state(model, variables, tx)
     start_epoch = 0
-    if args.resume_from:
-        state = restore_checkpoint(args.resume_from, state)
+    resume_from = args.resume_from
+    if resume_from is None and args.auto_resume:
+        # reference --auto-resume (tools/train.py:37-42): pick the latest
+        # epoch checkpoint in the work dir, if any
+        import re
+        cands = []
+        if os.path.isdir(args.work_dir):
+            for d in os.listdir(args.work_dir):
+                m = re.fullmatch(r'epoch_(\d+)', d)
+                if m:
+                    cands.append((int(m.group(1)),
+                                  os.path.join(args.work_dir, d)))
+        if cands:
+            resume_from = max(cands)[1]
+    if resume_from:
+        state = restore_checkpoint(resume_from, state)
         start_epoch = int(state.step) // steps_per_epoch
-        print(f'resumed from {args.resume_from} at step {int(state.step)}')
+        print(f'resumed from {resume_from} at step {int(state.step)}')
 
     mesh = make_mesh()
     step_fn = make_dp_train_step(model, tx, mesh)
