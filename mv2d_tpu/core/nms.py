@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import boxes as box_utils
+from .topk import fast_topk
 
 _NEG = -1e10
 
@@ -138,7 +139,7 @@ def multiclass_nms_2d(boxes: jnp.ndarray, scores: jnp.ndarray,
         ok = ok & jnp.all(wh >= min_bbox_size, axis=-1)
     masked = jnp.where(ok, flat_scores, _NEG)
     n_pre = min(nms_pre, R * C)
-    top_scores, top_idx = jax.lax.top_k(masked, n_pre)
+    top_scores, top_idx = fast_topk(masked, n_pre)
     top_boxes = flat_boxes[top_idx]
     top_labels = labels[top_idx]
     top_valid = ok[top_idx]

@@ -61,6 +61,7 @@ class SingleStageDetector(nn.Module):
     fpn_channels: int = 256
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     remat: bool = False
+    frozen_stages: int = 1
 
     def setup(self):
         from ..nn.retina import RetinaHead
@@ -70,6 +71,7 @@ class SingleStageDetector(nn.Module):
         else:
             self.backbone = ResNet(depth=self.depth,
                                    stage_with_dcn=self.stage_with_dcn,
+                                   frozen_stages=self.frozen_stages,
                                    remat=self.remat)
         self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
         self.retina_head = RetinaHead(num_classes=self.num_classes,
@@ -101,6 +103,7 @@ class TwoStageDetector(nn.Module):
     rcnn_fc_channels: int = 1024
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     remat: bool = False
+    frozen_stages: int = 1
 
     def setup(self):
         if self.backbone_type == 'vovnet':
@@ -109,6 +112,7 @@ class TwoStageDetector(nn.Module):
         else:
             self.backbone = ResNet(depth=self.depth,
                                    stage_with_dcn=self.stage_with_dcn,
+                                   frozen_stages=self.frozen_stages,
                                    remat=self.remat)
         self.fpn = FPN(out_channels=self.fpn_channels, num_outs=5)
         self.rpn_head = RPNHead(feat_channels=self.fpn_channels)

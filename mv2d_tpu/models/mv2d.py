@@ -47,6 +47,7 @@ class MV2DConfig(NamedTuple):
     backbone_type: str = 'resnet'               # 'resnet' | 'vovnet'
     detector_type: str = 'two_stage'            # 'two_stage' | 'single_stage'
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    frozen_stages: int = 1        # ref maskrcnn_r50.py:10 (stem + layer1)
     num_classes: int = 10
     embed_dims: int = 256
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
@@ -160,12 +161,14 @@ class MV2D(nn.Module):
                 depth=c.depth, num_classes=c.num_classes,
                 backbone_type=c.backbone_type,
                 stage_with_dcn=c.stage_with_dcn,
+                frozen_stages=c.frozen_stages,
                 fpn_channels=c.fpn_channels, remat=c.remat)
         else:
             self.base_detector = TwoStageDetector(
                 depth=c.depth, num_classes=c.num_classes,
                 backbone_type=c.backbone_type,
                 stage_with_dcn=c.stage_with_dcn, fpn_channels=c.fpn_channels,
+                frozen_stages=c.frozen_stages,
                 rcnn_fc_channels=c.rcnn_fc_channels, remat=c.remat)
         # neck: p4-selecting FPN-on-FPN (ref ..._ep24.py:32-39)
         self.neck = FPN(out_channels=c.embed_dims, num_outs=1,
@@ -484,6 +487,14 @@ class MV2D(nn.Module):
         feats_sg = tuple(jax.lax.stop_gradient(f) for f in fpn_feats)
         proposals = self.base_detector.detect(feats_sg, c.image_size,
                                               c.proposal_train)
+        # the reference computes detections under torch.no_grad()
+        # (mv2d.py:110-113): stop EVERY output, not just the feats - the
+        # box coordinates otherwise leak cotangents back through the
+        # detect pass's NMS/R-CNN/RPN via the 3D head's RoIAlign and
+        # virtual intrinsics (a full detect backward in the profile:
+        # ~10+ ms/step of transposed convs + loop fusions for gradients
+        # the reference never computes)
+        proposals = jax.tree.map(jax.lax.stop_gradient, proposals)
         proposals = self.complement_2d_gt(proposals, gt2d)
 
         # ---- 3D head

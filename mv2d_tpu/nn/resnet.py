@@ -176,6 +176,12 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     remat: bool = False
+    # reference maskrcnn_r50.py:10: stem + layer1 frozen.  Implemented as
+    # a stop_gradient on the frozen stages' outputs (torch-equivalent:
+    # frozen params + frozen inputs => requires_grad=False activations),
+    # so XLA DCEs their entire backward instead of computing gradients
+    # the optimizer mask would discard (~9% of the train step).
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fast_inference: bool = False):
@@ -197,6 +203,8 @@ class ResNet(nn.Module):
             x = s2d_stem_conv(x, k * s_bn) + b_bn.astype(x.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
         outs = []
         planes = 64
         for stage, n in enumerate(blocks):
@@ -224,6 +232,8 @@ class ResNet(nn.Module):
                         downsample=(i == 0),
                         use_dcn=self.stage_with_dcn[stage],
                         name=f'layer{stage + 1}_{i}')(x, fast_inference)
+            if stage < self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

@@ -19,6 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..core.nms import nms_padded
+from ..core.topk import fast_topk
 
 
 def base_anchors(stride: int, scales=(8,), ratios=(0.5, 1.0, 2.0)
@@ -130,7 +131,9 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
         s = s.reshape(V, -1)                                 # [V, HWA]
         d = d.reshape(V, H * W, -1, 4).reshape(V, -1, 4)
         n_pre = min(nms_pre, s.shape[1])
-        top_s, top_i = jax.lax.top_k(s, n_pre)
+        # fast_topk: exact lax.top_k here lowers to a ~2 ms chunked
+        # key-value sort in-net on TPU (see core/topk.py)
+        top_s, top_i = fast_topk(s, n_pre)
         top_anchor = anchors[top_i]                          # [V, n_pre, 4]
         top_d = jnp.take_along_axis(d, top_i[..., None], axis=1)
         boxes = delta2bbox(top_anchor, top_d, max_shape=image_shape)

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,3 +100,34 @@ def test_nms_long_suppression_chain():
     want = sorted(ref_greedy_nms(boxes, scores, 0.3))
     assert got == want
     assert got == list(range(0, n, 2))
+
+
+def test_fast_topk_exact_off_tpu():
+    import numpy as np
+    from mv2d_tpu.core.topk import fast_topk
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 500)),
+                    jnp.float32)
+    v, i = fast_topk(x, 50)
+    v2, i2 = jax.lax.top_k(x, 50)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+    # k >= n passthrough
+    v, i = fast_topk(x, 500)
+    assert v.shape == (4, 500)
+
+
+def test_topk_small_exact_matches_lax():
+    import unittest.mock as um
+    from mv2d_tpu.core.topk import topk_small_exact
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(90, 12, 75)), jnp.float32)
+    xt = jnp.asarray(rng.integers(0, 5, (40, 33)), jnp.float32)  # many ties
+    with um.patch.object(jax, 'default_backend', lambda: 'tpu'):
+        v1, i1 = jax.jit(lambda a: topk_small_exact(a, 20))(x)
+        v3, i3 = jax.jit(lambda a: topk_small_exact(a, 8))(xt)
+    v2, i2 = jax.lax.top_k(x, 20)
+    v4, i4 = jax.lax.top_k(xt, 8)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v3), np.asarray(v4))
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
