@@ -133,11 +133,16 @@ def epipolar_in_box(boxes: jnp.ndarray, valid: jnp.ndarray,
 
 def adjacency_from_correlation(corr_ids: jnp.ndarray, corr_mask: jnp.ndarray,
                                num_rois: int) -> jnp.ndarray:
-    """[R, C] id/mask table -> dense adjacency [R, R] bool."""
-    R = corr_ids.shape[0]
-    A = jnp.zeros((R, num_rois), dtype=bool)
-    rows = jnp.broadcast_to(jnp.arange(R)[:, None], corr_ids.shape)
-    return A.at[rows, corr_ids].max(corr_mask)
+    """[R, C] id/mask table -> dense adjacency [R, R] bool.
+
+    Dense compare-any instead of a scatter: the [R, C, R] broadcast
+    compare fuses into one VPU loop over output tiles (~195M compares at
+    R=900), while the scatter (216900 updates into [900, 900]) ran as a
+    ~2 ms descriptor-bound custom fusion in the eval device profile.
+    """
+    ids = jnp.where(corr_mask, corr_ids, -1)
+    return (ids[:, :, None] ==
+            jnp.arange(num_rois, dtype=ids.dtype)[None, None, :]).any(1)
 
 
 def in_roi_pixel_masks(boxes: jnp.ndarray, valid: jnp.ndarray,
