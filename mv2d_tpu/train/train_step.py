@@ -84,9 +84,10 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
             lambda x: x.astype(jnp.float32)
             if hasattr(x, 'dtype') and x.dtype == jnp.bfloat16 else x, t)
         out = up(out)
-        det_raw = dict(fpn_feats=det_raw['fpn_feats'],
-                       rpn_scores=up(det_raw['rpn_scores']),
-                       rpn_deltas=up(det_raw['rpn_deltas']))
+        # rpn score/delta maps stay bf16: the loss helpers upcast
+        # INSIDE their fused bodies (focal_loss.py), so casting the
+        # full [V, ~180k] maps here only materialized f32 copies
+        # (~3.3 ms/step of HBM traffic at recipe shapes)
 
     losses = mv2d_head_loss(out, batch.gt3d, cfg)
 

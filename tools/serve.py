@@ -3,10 +3,14 @@
 ref: tools/deployment/{mmdet3d2torchserve,mmdet3d_handler}.py).
 
 TPU-first design: requests are queued and dispatched in dynamically-formed
-batches through a small set of pre-compiled bucket sizes (1, 2, 4, ...,
---max-batch) so the server never triggers an XLA recompile at request time;
-partial batches are padded to the next bucket. The model runs as one jitted
-scene-vmapped forward per bucket.
+batches of up to --max-batch scenes, each PIPELINED through the one
+compiled single-scene program (JAX async dispatch overlaps host work with
+device steps).  One program serves every batch size - no per-bucket
+recompiles, no padding, and unlike a scene-vmapped program the batch keeps
+the Pallas kernel fast path (vmap cannot batch kernels that use manual
+DMA/ANY memory spaces, so vmapped buckets forced the slower pure-XLA
+routing; the device is ~fully busy on one scene, so batching adds
+throughput only via pipelining anyway).
 
   python tools/serve.py <config> [--checkpoint CKPT] [--port 8300]
       [--max-batch 4] [--batch-timeout-ms 8] [--no-warmup]
@@ -54,7 +58,7 @@ class _Request:
 
 
 class ModelRunner:
-    """Owns the compiled bucket forwards and the batching dispatcher."""
+    """Owns the compiled forward and the pipelining dispatcher."""
 
     def __init__(self, cfg: dict, checkpoint: str | None, max_batch: int,
                  batch_timeout_ms: float, warmup: bool = True):
@@ -68,15 +72,11 @@ class ModelRunner:
         mc = self.model.cfg
         self.mc = mc
         V = mc.total_views
-        self.buckets = []
-        b = 1
-        while b <= max_batch:
-            self.buckets.append(b)
-            b *= 2
+        self.max_batch = max(1, max_batch)
         self.batch_timeout = batch_timeout_ms / 1e3
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.metrics = {'requests': 0, 'errors': 0, 'batches': 0,
-                        'padded_slots': 0, 'latency_ms': []}
+                        'latency_ms': []}
         self._metrics_lock = threading.Lock()
 
         K, E = _rig(V, mc.image_size)
@@ -95,27 +95,20 @@ class ModelRunner:
         def fwd(imgs, cam, shapes):
             return self.model.apply(self.variables, imgs, cam, shapes)
 
-        self._fns = {
-            n: jax.jit(jax.vmap(fwd)) if n > 1 else jax.jit(fwd)
-            for n in self.buckets}
+        self._fwd = jax.jit(fwd)
         if warmup:
-            for n in self.buckets:
-                self._run_bucket(n, [(imgs0, cam0, shapes0)] * n)
+            self._run_batch([(imgs0, cam0, shapes0)])
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
 
     # ------------------------------------------------------------ batching
 
-    def _run_bucket(self, n, samples):
-        jnp = self.jax.numpy
-        if n == 1:
-            return [self._fns[1](*samples[0])]
-        stack = self.jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
-        out = self._fns[n](*stack)
-        host = self.jax.device_get(out)
-        return [self.jax.tree.map(lambda x, i=i: x[i], host)
-                for i in range(n)]
+    def _run_batch(self, samples):
+        # dispatch every scene before fetching any result: the async
+        # runtime queues them back-to-back on the device
+        outs = [self._fwd(*s) for s in samples]
+        return [self.jax.device_get(o) for o in outs]
 
     def _dispatch_loop(self):
         while True:
@@ -124,7 +117,7 @@ class ModelRunner:
                 return
             batch = [first]
             deadline = time.perf_counter() + self.batch_timeout
-            while len(batch) < self.buckets[-1]:
+            while len(batch) < self.max_batch:
                 left = deadline - time.perf_counter()
                 if left <= 0:
                     break
@@ -132,11 +125,9 @@ class ModelRunner:
                     batch.append(self.queue.get(timeout=left))
                 except queue.Empty:
                     break
-            n = next(b for b in self.buckets if b >= len(batch))
             try:
                 samples = [self._to_sample(r.arrays) for r in batch]
-                padded = samples + [samples[0]] * (n - len(samples))
-                outs = self._run_bucket(n, padded)
+                outs = self._run_batch(samples)
                 now = time.perf_counter()
                 for r, out in zip(batch, outs):
                     boxes, scores, labels, valid = (
@@ -146,7 +137,6 @@ class ModelRunner:
                     r.event.set()
                 with self._metrics_lock:
                     self.metrics['batches'] += 1
-                    self.metrics['padded_slots'] += n - len(batch)
                     self.metrics['latency_ms'].extend(
                         (now - r.t_enqueue) * 1e3 for r in batch)
                     del self.metrics['latency_ms'][:-1000]
@@ -196,7 +186,6 @@ class ModelRunner:
                 'requests': self.metrics['requests'],
                 'errors': self.metrics['errors'],
                 'batches': self.metrics['batches'],
-                'padded_slots': self.metrics['padded_slots'],
                 'latency_ms_p50': pct(0.50),
                 'latency_ms_p90': pct(0.90),
                 'latency_ms_p99': pct(0.99),
@@ -268,13 +257,13 @@ def main():
     meta = {'preset': cfg['model'].get('preset'),
             'views': mc.total_views, 'image_size': list(mc.image_size),
             'classes': mc.num_classes, 'max_per_scene': mc.max_per_scene,
-            'buckets': runner.buckets}
+            'max_batch': runner.max_batch}
 
     from http.server import ThreadingHTTPServer
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(runner, meta))
     print(f'serving on http://{args.host}:{srv.server_address[1]} '
-          f'(buckets {runner.buckets})', flush=True)
+          f'(max batch {runner.max_batch})', flush=True)
     srv.serve_forever()
 
 
