@@ -48,6 +48,8 @@ class MV2DConfig(NamedTuple):
     detector_type: str = 'two_stage'            # 'two_stage' | 'single_stage'
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
     frozen_stages: int = 1        # ref maskrcnn_r50.py:10 (stem + layer1)
+    grad_all: bool = True         # ref MV2DT grad_all (mv2d_t.py:20):
+                                  # False = no grad through history frames
     num_classes: int = 10
     embed_dims: int = 256
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
@@ -475,13 +477,29 @@ class MV2D(nn.Module):
         c = self.cfg
         imgs = grid_mask_fn(self.make_rng('aug'), imgs)
         fpn_feats, p4 = self.extract_feats(imgs)
+        Vc = c.num_views
+        if not c.grad_all and c.num_frames > 1:
+            # ref MV2DT grad_all=False (mv2d_t.py:86-94): history frames'
+            # features are extracted under no_grad; same values, so a
+            # stop_gradient on the history slice is the exact equivalent
+            # and DCEs their backbone/FPN backward
+            fpn_feats = tuple(
+                jnp.concatenate(
+                    [f[:Vc], jax.lax.stop_gradient(f[Vc:])], axis=0)
+                for f in fpn_feats)
+            p4 = jnp.concatenate(
+                [p4[:Vc], jax.lax.stop_gradient(p4[Vc:])], axis=0)
 
-        # ---- 2D detector raw outputs for the 2D losses (current frame):
-        # RPN logits for two-stage, anchor-head logits for single-stage
+        # ---- 2D detector raw outputs for the 2D losses: the reference
+        # runs the loss head on the CURRENT frame only
+        # (forward_train_w_feat(detector_feat_current), mv2d_t.py:97-105);
+        # running it on all V views computed 2x the head convs + their
+        # backward for outputs the loss slices away
+        cur_feats = [f[:Vc] for f in fpn_feats]
         if c.detector_type == 'single_stage':
-            rpn_scores, rpn_deltas = self.base_detector.retina_head(fpn_feats)
+            rpn_scores, rpn_deltas = self.base_detector.retina_head(cur_feats)
         else:
-            rpn_scores, rpn_deltas = self.base_detector.rpn_head(fpn_feats)
+            rpn_scores, rpn_deltas = self.base_detector.rpn_head(cur_feats)
 
         # ---- no-grad 2D detections -> proposals (+ GT complement)
         feats_sg = tuple(jax.lax.stop_gradient(f) for f in fpn_feats)

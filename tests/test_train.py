@@ -166,3 +166,45 @@ def test_train_step_with_remat(rng):
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics['total_loss']))
     assert float(metrics['grad_norm']) > 0
+
+
+def test_grad_all_false_two_frame(rng):
+    """MV2DT grad_all=False (ref mv2d_t.py:86-94): history-frame features
+    are no-grad.  Forward values must be IDENTICAL to grad_all=True
+    (stop_gradient is the identity), and the step must run with finite
+    loss and nonzero grads."""
+    V2 = configs.tiny(num_frames=2).total_views
+    K, E = make_rig(V2)
+    cam = prepare_camera_params(
+        K, E, timestamps=[0.0] * (V2 // 2) + [0.5] * (V2 // 2))
+    imgs = jnp.asarray(rng.normal(size=(V2, 64, 96, 3)) * 0.1, jnp.float32)
+    img_shapes = jnp.asarray([[64, 96]] * V2)
+    gt2d = GroundTruth2D(
+        boxes=jnp.asarray(np.tile([[20, 16, 60, 48]], (V2, 1, 1))),
+        labels=jnp.zeros((V2, 1), jnp.int32),
+        valid=jnp.ones((V2, 1), bool))
+    outs = {}
+    for ga in (True, False):
+        cfg = configs.tiny(num_frames=2)._replace(
+            grad_all=ga, image_size=(64, 96))
+        G = cfg.max_gt
+        g3b = np.zeros((G, 9), np.float32)
+        g3b[0] = [10, 0, -1, 2, 4, 1.5, 0.3, 0, 0]
+        gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                             labels=jnp.zeros((G,), jnp.int32),
+                             valid=jnp.asarray(np.arange(G) < 1))
+        batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=img_shapes,
+                           gt2d=gt2d, gt3d=gt3d)
+        model = MV2D(cfg)
+        variables = model.init(
+            {'params': KEY, 'aug': KEY, 'dn': KEY, 'dropout': KEY},
+            imgs, cam, img_shapes, gt2d, gt3d, method=MV2D.forward_train)
+        tx = make_optimizer(variables['params'], base_lr=1e-3,
+                            total_steps=10, clip_norm=35.0)
+        state = init_train_state(model, variables, tx)
+        step = jax.jit(make_train_step(model, tx))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics['total_loss']))
+        assert float(metrics['grad_norm']) > 0
+        outs[ga] = float(metrics['total_loss'])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5)
