@@ -33,6 +33,137 @@ def timed(fn, *args, iters=20, name=''):
     return dt
 
 
+def wfold_main():
+    """W-pair fold (factor 2): [V, H, W, C] -> [V, H, W/2, 2C] is a PURE
+    RESHAPE (flat (w, c) order == (wp, i, c)); a stride-1 3x3 conv becomes
+    an exact 3x3 conv on the folded grid with a half-sparse [3, 3, 2C, 2C]
+    kernel: 2x dense FLOPs for 2x the contraction depth AND 2x output
+    lanes.  (The earlier 2x2 fold paid 4x FLOPs and still ran at 4x
+    better per-FLOP rate - docs/PERF.md - so 2x inflation should win.)"""
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+
+    def wfold_kernel(k):
+        """[3, 3, C, Co] -> [3, 3, 2C, 2Co] exact W-pair fold."""
+        k = np.asarray(k, np.float32)
+        _, _, C, Co = k.shape
+        kf = np.zeros((3, 3, 2, C, 2, Co), np.float32)
+        for dq in (-1, 0, 1):          # folded col offset
+            for i in (0, 1):           # input parity
+                for j in (0, 1):       # output parity
+                    dx = 2 * dq + i - j + 1
+                    if 0 <= dx <= 2:
+                        kf[:, dq + 1, i, :, j, :] = k[:, dx]
+        return kf.reshape(3, 3, 2 * C, 2 * Co)
+
+    def wfold_kernel_1x1(k):
+        k = np.asarray(k, np.float32)
+        _, _, C, Co = k.shape
+        kf = np.zeros((1, 1, 2, C, 2, Co), np.float32)
+        kf[0, 0, 0, :, 0, :] = k[0, 0]
+        kf[0, 0, 1, :, 1, :] = k[0, 0]
+        return kf.reshape(1, 1, 2 * C, 2 * Co)
+
+    for (V, H, W, C, Co) in [(12, 128, 352, 64, 64),
+                             (12, 64, 176, 128, 128),
+                             (12, 32, 88, 256, 256)]:
+        x = jnp.asarray(rng.normal(size=(V, H, W, C)), jnp.bfloat16)
+        w33 = jnp.asarray(rng.normal(size=(3, 3, C, Co)) * 0.05,
+                          jnp.bfloat16)
+
+        def conv(x, w, dims=None):
+            dnn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                             ('NHWC', 'HWIO', 'NHWC'))
+            return lax.conv_general_dilated(x, w, (1, 1), 'SAME',
+                                            dimension_numbers=dnn)
+
+        def conv_wfold(x, wf):
+            xf = x.reshape(V, H, W // 2, 2 * C)
+            return conv(xf, wf).reshape(V, H, W, Co)
+
+        wf = jnp.asarray(wfold_kernel(w33), jnp.bfloat16)
+        timed(jax.jit(conv), x, w33,
+              name=f'3x3 {C}->{Co} @{H}x{W} XLA')
+        timed(jax.jit(conv_wfold), x, wf,
+              name=f'3x3 {C}->{Co} @{H}x{W} W-fold2')
+        if C == 64:
+            ref = np.asarray(jax.jit(conv)(x.astype(jnp.float32),
+                                           w33.astype(jnp.float32)))
+            got = np.asarray(jax.jit(conv_wfold)(
+                x.astype(jnp.float32),
+                jnp.asarray(wfold_kernel(w33), jnp.float32)))
+            err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
+            print(f'  wfold rel err: {err:.2e}', flush=True)
+
+    # whole stage-1 bottleneck chain W-folded end-to-end (the residual
+    # and relus are elementwise, so the WHOLE stage can stay folded with
+    # ONE free reshape in and out)
+    V, H, W, C = 12, 128, 352, 64
+    x256 = jnp.asarray(rng.normal(size=(V, H, W, 256)), jnp.bfloat16)
+    wa = jnp.asarray(rng.normal(size=(1, 1, 256, 64)) * 0.05, jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05, jnp.bfloat16)
+    wc = jnp.asarray(rng.normal(size=(1, 1, 64, 256)) * 0.05, jnp.bfloat16)
+
+    def conv_any(x, w):
+        dnn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                         ('NHWC', 'HWIO', 'NHWC'))
+        return lax.conv_general_dilated(x, w, (1, 1), 'SAME',
+                                        dimension_numbers=dnn)
+
+    def block_xla(x, wa, w2, wc):
+        h = jax.nn.relu(conv_any(x, wa))
+        h = jax.nn.relu(conv_any(h, w2))
+        return jax.nn.relu(conv_any(h, wc) + x)
+
+    waf = jnp.asarray(wfold_kernel_1x1(wa), jnp.bfloat16)
+    w2f = jnp.asarray(wfold_kernel(w2), jnp.bfloat16)
+    wcf = jnp.asarray(wfold_kernel_1x1(wc), jnp.bfloat16)
+
+    def block_wfold(x, waf, w2f, wcf):
+        xf = x.reshape(V, H, W // 2, 512)
+        h = jax.nn.relu(conv_any(xf, waf))
+        h = jax.nn.relu(conv_any(h, w2f))
+        return jax.nn.relu(conv_any(h, wcf) + xf).reshape(V, H, W, 256)
+
+    def block_hybrid(x, wa, w2f, wc):
+        # fold ONLY the 3x3: the 1x1s are already K>=128-efficient and
+        # block-diag folding just doubles their FLOPs (measured 8.61 ms
+        # vs 4.62 XLA for the all-folded block)
+        h = jax.nn.relu(conv_any(x, wa))
+        hf = h.reshape(V, H, W // 2, 128)
+        hf = jax.nn.relu(conv_any(hf, w2f))
+        h = hf.reshape(V, H, W, 64)
+        return jax.nn.relu(conv_any(h, wc) + x)
+
+    timed(jax.jit(block_xla), x256, wa, w2, wc,
+          name='bottleneck(256-64-256) XLA')
+    timed(jax.jit(block_wfold), x256, waf, w2f, wcf,
+          name='bottleneck(256-64-256) W-fold2')
+    timed(jax.jit(block_hybrid), x256, wa, w2f, wc,
+          name='bottleneck(256-64-256) fold conv2 only')
+    ref = np.asarray(jax.jit(block_xla)(
+        x256.astype(jnp.float32), wa.astype(jnp.float32),
+        w2.astype(jnp.float32), wc.astype(jnp.float32)))
+    got = np.asarray(jax.jit(block_hybrid)(
+        x256.astype(jnp.float32), wa.astype(jnp.float32),
+        jnp.asarray(wfold_kernel(w2)), wc.astype(jnp.float32)))
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
+    print(f'  hybrid wfold rel err: {err:.2e}', flush=True)
+    ref = np.asarray(jax.jit(block_xla)(
+        x256.astype(jnp.float32), wa.astype(jnp.float32),
+        w2.astype(jnp.float32), wc.astype(jnp.float32)))
+    got = np.asarray(jax.jit(block_wfold)(
+        x256.astype(jnp.float32), jnp.asarray(wfold_kernel_1x1(wa)),
+        jnp.asarray(wfold_kernel(w2)), jnp.asarray(wfold_kernel_1x1(wc))))
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
+    print(f'  block wfold rel err: {err:.2e}', flush=True)
+
+
 def main():
     import jax
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
@@ -151,4 +282,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if 'wfold' in sys.argv:
+        wfold_main()
+    else:
+        main()
