@@ -54,7 +54,11 @@ def main():
         return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
 
     variables_h = jax.tree.map(to_bf16, variables)
-    imgs_h = imgs.astype(jnp.bfloat16)
+    # pre-folded s2d input (host pipeline does the 2x2 fold during its
+    # copy; see data/padding.s2d_fold_images): removes the in-jit relayout
+    from mv2d_tpu.data.padding import s2d_fold_images
+    imgs_h = jnp.asarray(s2d_fold_images(np.asarray(imgs)),
+                         jnp.bfloat16)
 
     fwd = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes))
 

@@ -321,13 +321,22 @@ def to_camera_params(sample: dict):
                                  timestamps=sample['timestamps'])
 
 
-def to_train_batch(sample: dict):
-    """Host sample dict -> single-scene TrainBatch (jnp)."""
+def to_train_batch(sample: dict, s2d: bool = True):
+    """Host sample dict -> single-scene TrainBatch (jnp).
+
+    s2d=True pre-folds the images [V, H, W, 3] -> [V, H/2, W/2, 12] on
+    the host (see padding.s2d_fold_images) - the model's stem/grid-mask
+    consume the folded layout directly, skipping the in-jit relayout."""
     import jax.numpy as jnp
     from ..models.mv2d import GroundTruth2D, GroundTruth3D
     from ..train.train_step import TrainBatch
+    from .padding import s2d_fold_images
+    imgs = np.asarray(sample['imgs'])
+    if s2d and imgs.shape[-1] == 3 and imgs.shape[1] % 2 == 0 \
+            and imgs.shape[2] % 2 == 0:
+        imgs = s2d_fold_images(imgs)
     return TrainBatch(
-        imgs=jnp.asarray(sample['imgs']),
+        imgs=jnp.asarray(imgs),
         cam=to_camera_params(sample),
         img_shapes=jnp.asarray(sample['img_shapes']),
         gt2d=GroundTruth2D(boxes=jnp.asarray(sample['gt2d_boxes']),
@@ -338,9 +347,14 @@ def to_train_batch(sample: dict):
                            valid=jnp.asarray(sample['gt3d_valid'])))
 
 
-def to_eval_inputs(sample: dict):
+def to_eval_inputs(sample: dict, s2d: bool = True):
     import jax.numpy as jnp
-    return (jnp.asarray(sample['imgs']), to_camera_params(sample),
+    from .padding import s2d_fold_images
+    imgs = np.asarray(sample['imgs'])
+    if s2d and imgs.shape[-1] == 3 and imgs.shape[1] % 2 == 0 \
+            and imgs.shape[2] % 2 == 0:
+        imgs = s2d_fold_images(imgs)
+    return (jnp.asarray(imgs), to_camera_params(sample),
             jnp.asarray(sample['img_shapes']))
 
 

@@ -27,7 +27,8 @@ STAGE_BLOCKS = {
 }
 
 
-def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
+def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray,
+                  prefolded: bool = False) -> jnp.ndarray:
     """7x7/s2 pad-3 stem conv as space-to-depth + 4x4/s1 - exact same math.
 
     A C_in=3 conv wastes the MXU's 128-lane contraction (the whole stem
@@ -38,13 +39,22 @@ def s2d_stem_conv(x: jnp.ndarray, w7: jnp.ndarray) -> jnp.ndarray:
     W7pad[2e+dy, 2f+dx, c] is a pure reshape of the zero-padded kernel and
     gradients flow to the original checkpoint-shaped parameter.
     """
-    V, H, W, C = x.shape
     O = w7.shape[-1]
+    C = w7.shape[-2]
     a = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))        # [8, 8, C, O]
     w4 = a.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
     w4 = w4.reshape(4, 4, 4 * C, O)
-    x2 = x.reshape(V, H // 2, 2, W // 2, 2, C)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(V, H // 2, W // 2, 4 * C)
+    if prefolded:
+        # x already [V, H/2, W/2, 4C] in (dy, dx, c) channel order
+        V, _, _, _ = x.shape
+        x2 = x
+        H = x.shape[1] * 2
+        W = x.shape[2] * 2
+    else:
+        V, H, W, _ = x.shape
+        x2 = x.reshape(V, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(V, H // 2, W // 2,
+                                                    4 * C)
     if os.environ.get('MV2D_STEM_GEMM'):
         # im2col-GEMM experiment (16 shifted taps concat -> one K=192
         # matmul): measured SLOWER in-net (train 409 -> 419 ms/scene) -
@@ -191,7 +201,20 @@ class ResNet(nn.Module):
         block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
                      if self.remat else Bottleneck)
         s_bn, b_bn = FrozenBatchNorm(64, name='stem_bn').fold()
-        if (self.is_initializing() or x.shape[1] % 2 or x.shape[2] % 2
+        if x.shape[3] == 12:
+            # PRE-FOLDED s2d input [V, H/2, W/2, 12] (channel order
+            # (dy, dx, c)): the host pipeline did the 2x2 fold during its
+            # normalize/pad copy, removing the ~3 ms in-jit relayout that
+            # s2d_stem_conv's reshape+transpose cost at recipe shapes
+            if self.is_initializing():
+                # materialize the checkpoint-shaped stem param
+                nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                        use_bias=False, name='stem_conv')(
+                    jnp.zeros((1, 8, 8, 3), x.dtype))
+            k = self.get_variable('params', 'stem_conv')['kernel']
+            x = s2d_stem_conv(x, k * s_bn, prefolded=True) \
+                + b_bn.astype(x.dtype)
+        elif (self.is_initializing() or x.shape[1] % 2 or x.shape[2] % 2
                 or x.shape[3] != 3):
             x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
                         use_bias=False, name='stem_conv')(x)

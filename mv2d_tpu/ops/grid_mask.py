@@ -22,8 +22,15 @@ import jax.numpy as jnp
 def grid_mask(rng: jax.Array, imgs: jnp.ndarray, prob: float = 0.7,
               ratio_range=(0.4, 0.6), interv_ratio: float = 0.8,
               mode: int = 1) -> jnp.ndarray:
-    """imgs: [V, H, W, C] -> masked images (training augmentation)."""
-    V, H, W, C = imgs.shape
+    """imgs: [V, H, W, 3] (or pre-folded s2d [V, H/2, W/2, 12] with
+    (dy, dx, c) channel order) -> masked images (training augmentation).
+
+    The s2d path draws the SAME band patterns at full resolution and
+    applies them through broadcast factors, so fold(grid_mask(x)) ==
+    grid_mask(fold(x)) exactly."""
+    V, Hi, Wi, C = imgs.shape
+    s2d = C == 12
+    H, W = (Hi * 2, Wi * 2) if s2d else (Hi, Wi)
     keys = jax.random.split(rng, 6)
     apply = jax.random.uniform(keys[0], (V,)) < prob
     # grid spacing d per view: uniform in [2, min(H, W)] scaled by interv_ratio
@@ -42,6 +49,16 @@ def grid_mask(rng: jax.Array, imgs: jnp.ndarray, prob: float = 0.7,
     # band on = within first keep_len of each period
     on_y = jnp.mod(ys[None, :] + off_y[:, None], d[:, None]) < keep_len[:, None]
     on_x = jnp.mod(xs[None, :] + off_x[:, None], d[:, None]) < keep_len[:, None]
+    if s2d:
+        ky = on_y.reshape(V, Hi, 2)
+        kx = on_x.reshape(V, Wi, 2)
+        cell = ky[:, :, None, :, None] & kx[:, None, :, None, :]
+        if mode != 1:
+            cell = ~cell
+        cell = cell | ~apply[:, None, None, None, None]
+        keep = jnp.broadcast_to(cell[..., None],
+                                (V, Hi, Wi, 2, 2, 3)).reshape(V, Hi, Wi, 12)
+        return imgs * keep.astype(imgs.dtype)
     if mode == 1:
         keep = on_y[:, :, None] & on_x[:, None, :]      # keep grid cells
     else:

@@ -138,9 +138,14 @@ def test_dataset_end_to_end(tmp_path, rng):
     assert s['gt3d_valid'].sum() == 1
     assert s['gt3d_boxes'][0, 3] > 0
     assert s['intrinsics'].shape == (6, 4, 4)
-    # train batch conversion
+    # train batch conversion (host s2d fold by default)
     batch = nusc.to_train_batch(s)
-    assert batch.imgs.shape == (6, 64, 96, 3)
+    assert batch.imgs.shape == (6, 32, 48, 12)
+    batch3 = nusc.to_train_batch(s, s2d=False)
+    assert batch3.imgs.shape == (6, 64, 96, 3)
+    from mv2d_tpu.data.padding import s2d_fold_images
+    np.testing.assert_array_equal(
+        np.asarray(batch.imgs), s2d_fold_images(np.asarray(batch3.imgs)))
     assert batch.gt2d.boxes.shape[0] == 6
 
 

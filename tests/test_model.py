@@ -203,3 +203,34 @@ def test_single_stage_loss_targets(rng):
     assert float(lg['loss_bbox']) < 1e-6          # exact anchor, zero deltas
     assert float(lg['loss_cls']) < float(lb['loss_cls'])
     assert int(lg['num_pos']) == 1
+
+
+def test_s2d_prefolded_input_matches(rng):
+    """Pre-folded [V, H/2, W/2, 12] input (host s2d) must produce the
+    SAME detections as [V, H, W, 3] - the stem consumes the folded
+    layout directly (nn/resnet.py) and grid_mask dispatches on shape."""
+    from mv2d_tpu.data.padding import s2d_fold_images
+    cfg = configs.tiny(key_mode='pixel')
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    imgs = np.asarray(rng.normal(size=(V, *cfg.image_size, 3)), np.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    model = MV2D(cfg)
+    params = model.init(KEY, jnp.asarray(imgs), cam, img_shapes)
+    fwd = jax.jit(lambda p, i: model.apply(p, i, cam, img_shapes))
+    ref = fwd(params, jnp.asarray(imgs))
+    got = fwd(params, jnp.asarray(s2d_fold_images(imgs)))
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_grid_mask_s2d_equivalence(rng):
+    from mv2d_tpu.data.padding import s2d_fold_images
+    from mv2d_tpu.ops.grid_mask import grid_mask
+    imgs = np.asarray(rng.normal(size=(4, 32, 48, 3)), np.float32)
+    key = jax.random.PRNGKey(7)
+    ref = np.asarray(grid_mask(key, jnp.asarray(imgs)))
+    got = np.asarray(grid_mask(key, jnp.asarray(s2d_fold_images(imgs))))
+    np.testing.assert_array_equal(s2d_fold_images(ref), got)

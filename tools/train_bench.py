@@ -62,8 +62,9 @@ def main():
     K, E = _rig(V, cfg.image_size)
     cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)),
-                       dtype=jnp.float32)
+    from mv2d_tpu.data.padding import s2d_fold_images
+    imgs = jnp.asarray(s2d_fold_images(
+        rng.normal(size=(V, *cfg.image_size, 3)).astype(np.float32)))
     shapes = jnp.asarray([[*cfg.image_size]] * V)
     G2, G = 32, cfg.max_gt
     g2b = np.zeros((V, G2, 4), np.float32)
