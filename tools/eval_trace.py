@@ -49,7 +49,8 @@ def main():
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
-    imgs = imgs.astype(jnp.bfloat16)
+    from mv2d_tpu.data.padding import s2d_fold_images
+    imgs = jnp.asarray(s2d_fold_images(np.asarray(imgs)), jnp.bfloat16)
     fwd = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes))
 
     def force(out):
