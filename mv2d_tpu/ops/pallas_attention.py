@@ -220,9 +220,11 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # default: block-sparse grid (the correlation mask is ~50% dense at
         # [64, 512] tile granularity -> ~2x less VPU/MXU work; measured
         # eval 10.19 -> 10.55 samples/sec/chip).  MV2D_FLASH_SPARSE=0
-        # restores the dense-grid kernels.
+        # restores the dense-grid kernels; MV2D_FLASH_BK tunes the key
+        # tile (finer tiles skip more mask but pay more grid/loop steps).
+        bk = int(os.environ.get('MV2D_FLASH_BK', '512'))
         return _flash_sparse(q, k, v, allowed, num_heads, block_q,
-                             512, interpret)
+                             bk, interpret)
     return _flash(q, k, v, allowed, num_heads, block_q, interpret)
 
 

@@ -192,3 +192,47 @@ def test_ms_resize_crop_flip_appends_center_zooms(rng):
     np.testing.assert_allclose(out_k[3][:3, :3], want, rtol=1e-6)
     # zoomed view focal length is center_size x the base-aug view's
     assert out_k[3][0, 0] / out_k[0][0, 0] == pytest.approx(2.0, rel=1e-6)
+
+
+def test_calibration_module(tmp_path):
+    """Bucket auto-sizing: scan/recommend/apply (data/calibration.py)."""
+    from mv2d_tpu import configs
+    from mv2d_tpu.data import calibration as cal
+    from mv2d_tpu.data import pipeline as pl
+
+    info_path, coco_path = _fake_nuscenes(str(tmp_path))
+    ds = nusc.NuScenesDataset(
+        info_path=info_path, ann2d_path=coco_path, num_frames=1,
+        final_dim=(64, 96),
+        ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
+        test_mode=False)
+    mcfg = configs.tiny(num_views=6)
+    rec, stats = cal.calibrate(ds, mcfg, samples=4)
+    assert stats['n'] == min(4, len(ds))
+    assert max(stats['gt3d_counts']) >= 1
+    # recommendation floors/quantization
+    assert rec['max_gt'] >= 8 and rec['max_gt'] % 8 == 0
+    assert rec['k_max'] >= 1024 and rec['k_max'] % 1024 == 0
+    h, w = stats['feat_hw']
+    assert rec['k_max'] <= cal.round_up(mcfg.total_views * h * w, 1024)
+
+    # apply raises small buckets, never shrinks explicit larger ones
+    cfg = {'model': {'preset': 'tiny', 'overrides': {}}}
+    applied = cal.apply_to_config(cfg, rec, mcfg)
+    assert applied == {'max_gt': rec['max_gt'], 'k_max': rec['k_max']}
+    assert cfg['model']['overrides']['k_max'] == rec['k_max']
+    cfg2 = {'model': {'overrides': {'k_max': 10 ** 6,
+                                    'max_gt': 10 ** 4}}}
+    assert cal.apply_to_config(cfg2, rec, mcfg) == {}
+    assert cfg2['model']['overrides']['k_max'] == 10 ** 6
+
+
+def test_calibration_pixel_union():
+    from mv2d_tpu.data import calibration as cal
+    boxes = np.array([[0., 0., 31., 31.], [64., 0., 95., 15.],
+                      [0., 0., 95., 63.]])
+    valid = np.array([True, True, False])
+    # stride 16, no expand: boxes cover [0:3,0:3] and [0:2,4:6] -> 9 + 4
+    assert cal.pixel_union(boxes, valid, (4, 6), 16, 0) == 13
+    # expand 1: clipped to [0:4,0:4] and [0:3,3:6], overlapping 3 cells
+    assert cal.pixel_union(boxes, valid, (4, 6), 16, 1) == 16 + 9 - 3

@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--max-steps', type=int, default=None,
                    help='cap steps (debug)')
+    p.add_argument('--auto-buckets', type=int, default=None, metavar='N',
+                   help='scan N train samples and auto-raise the static '
+                        'shape buckets (max_gt, k_max) before building '
+                        'the model (see mv2d_tpu/data/calibration.py)')
     p.add_argument('--cfg-options', nargs='*', default=None)
     return p.parse_args()
 
@@ -64,6 +68,18 @@ def main():
     from mv2d_tpu.train.optim import make_optimizer
     from mv2d_tpu.train.train_step import init_train_state
 
+    if args.auto_buckets:
+        from mv2d_tpu.data.calibration import apply_to_config, calibrate
+        mcfg0 = build_model_config(cfg)
+        # scan with a throwaway dataset: the real one is built AFTER the
+        # overrides land (build_dataset sizes its GT pad buckets from the
+        # model config, and model/dataset buckets must agree)
+        rec, stats = calibrate(build_dataset(cfg, 'train'), mcfg0,
+                               samples=args.auto_buckets)
+        applied = apply_to_config(cfg, rec, mcfg0) or \
+            'nothing (current buckets already cover the data)'
+        print(f'auto-buckets: scanned {stats["n"]} samples, '
+              f'recommended {rec}, applied {applied}')
     model = build_model(cfg)
     mcfg = model.cfg
     dataset = build_dataset(cfg, 'train')
