@@ -201,7 +201,8 @@ def _sparse_blocks(msk, dims, BK):
 def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            allowed: jnp.ndarray, num_heads: int,
                            block_q: int = 64, block_k: int = 1024,
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           interpret: bool | None = None,
+                           sparse: bool | None = None) -> jnp.ndarray:
     """q: [Q, C]; k, v: [K, C]; allowed: [Q, K] bool -> [Q, C].
 
     Pads Q and K to block multiples; padded keys are masked out, padded
@@ -216,12 +217,21 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     import os
-    if os.environ.get('MV2D_FLASH_SPARSE', '1') == '1':
-        # default: block-sparse grid (the correlation mask is ~50% dense at
+    env = os.environ.get('MV2D_FLASH_SPARSE', '')
+    if env:
+        use_sparse = env == '1'      # explicit A/B override wins
+    else:
+        use_sparse = True if sparse is None else sparse
+    if use_sparse:
+        # block-sparse grid (the correlation mask is ~50% dense at
         # [64, 512] tile granularity -> ~2x less VPU/MXU work; measured
-        # eval 10.19 -> 10.55 samples/sec/chip).  MV2D_FLASH_SPARSE=0
-        # restores the dense-grid kernels; MV2D_FLASH_BK tunes the key
-        # tile (finer tiles skip more mask but pay more grid/loop steps).
+        # eval 10.22 -> 10.5 samples/sec/chip).  The TRAINING step is
+        # faster on the dense-grid kernels (294.5 vs 305.4 ms/scene: the
+        # sparse bwd's block-list loop + block-major accumulators lose to
+        # the one-shot [BQ, K] bwd at DN-padded query counts), so the
+        # decoder passes sparse=deterministic (eval sparse, train dense).
+        # MV2D_FLASH_SPARSE=1/0 forces either path; MV2D_FLASH_BK tunes
+        # the key tile (finer tiles skip more mask but pay more steps).
         bk = int(os.environ.get('MV2D_FLASH_BK', '512'))
         return _flash_sparse(q, k, v, allowed, num_heads, block_q,
                              bk, interpret)
