@@ -1,19 +1,37 @@
 """Standalone nuScenes detection-metric evaluator (mAP / TP errors / NDS).
 
 The reference delegates evaluation to the nuscenes-devkit
-(ref: custom_nuscenes_dataset.py:370-428 -> NuScenesEval).  The devkit is not
-a dependency of this framework, so the official protocol is re-implemented
-here (numpy only), following the published nuScenes detection metric:
+(ref: custom_nuscenes_dataset.py:370-428 -> NuScenesEval).  The devkit is
+not a dependency of this framework, so the official protocol is
+re-implemented here (numpy only), matching the devkit's
+`nuscenes/eval/detection/{algo,evaluate}.py` + `eval/common/loaders.py`
+step for step:
 
-  * per (class, dist_threshold in {0.5, 1, 2, 4} m) AP: predictions matched
-    greedily by descending score to unmatched GT within BEV center distance;
-    AP = normalized area of the 101-point precision-recall curve above
-    recall 0.1 / precision 0.1,
-  * TP errors at the 2 m threshold over the recall>0.1 region:
-    ATE (m, BEV center), ASE (1 - IoU after alignment), AOE (rad, period 2pi;
-    pi for barriers), AVE (m/s, BEV), AAE (1 - attribute accuracy; skipped
-    for classes without attributes and when attributes are unavailable),
-  * NDS = (5*mAP + sum_tp max(0, 1 - mTP)) / 10.
+  * `filter_eval_boxes`: GT and predictions are filtered to per-class
+    max ego distances (cvpr_2019 ranges: 50 m vehicles, 40 m ped/moto/
+    bicycle, 30 m cone/barrier) BEFORE matching.  Ego distance is the
+    xy-norm of the gravity center in the EGO frame (global-frame distance
+    to the ego pose in the devkit == ego-frame norm, rotation invariant);
+    samples may carry `l2e_r`/`l2e_t` (lidar->ego) for the exact offset,
+    else the lidar origin approximates the ego origin.
+    (The devkit's bike-rack filter needs the map database and is not
+    reproducible from infos; it is omitted — documented deviation.)
+  * `accumulate`: per (class, dist_th in {0.5, 1, 2, 4} m), ALL
+    predictions of the class are pooled across samples and matched in
+    GLOBAL descending-score order (ties: higher original index first,
+    like the devkit's sorted()[::-1]) to the nearest unmatched same-class
+    GT of the same sample (strict `dist < th`).  TP error curves are
+    cumulative means in that global order, interpolated onto the
+    101-point recall grid via the interpolated confidence curve.
+  * `calc_ap`: 101-point precision curve, clipped at recall>0.1 and
+    precision-0.1, normalized by 0.9.
+  * `calc_tp`: mean of the interpolated error curve over recall indices
+    11..max_recall_ind (last nonzero confidence); 1.0 if none.
+  * classes with no GT (or no matches) contribute AP=0 and TP=1.0 to the
+    means (devkit `DetectionMetricData.no_predictions`).
+  * NDS = (5*mAP + sum_tp max(0, 1 - mTP)) / 10, with the devkit's
+    hardcoded exclusions (traffic_cone: orient/vel/attr = NaN;
+    barrier: vel/attr = NaN) nanmean'd away.
 
 GT comes from the same infos pkl the dataset reads, so evaluation works
 without the nuScenes DB; results can also be exported in the official
@@ -31,15 +49,17 @@ DIST_THS = (0.5, 1.0, 2.0, 4.0)
 TP_DIST_TH = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
+NELEM = 101
 TP_METRICS = ('trans_err', 'scale_err', 'orient_err', 'vel_err', 'attr_err')
-# classes where some TP metrics are undefined (devkit convention)
-NO_VEL = {'barrier', 'traffic_cone'}
-NO_ORIENT = {'traffic_cone'}
-NO_ATTR = {'barrier', 'traffic_cone'}
-
-
-def _center_dist(pred_xy: np.ndarray, gt_xy: np.ndarray) -> np.ndarray:
-    return np.linalg.norm(pred_xy[:, None] - gt_xy[None], axis=-1)
+# devkit detection config cvpr_2019 class_range
+CLASS_RANGES = {
+    'car': 50.0, 'truck': 50.0, 'bus': 50.0, 'trailer': 50.0,
+    'construction_vehicle': 50.0, 'pedestrian': 40.0, 'motorcycle': 40.0,
+    'bicycle': 40.0, 'traffic_cone': 30.0, 'barrier': 30.0}
+# devkit evaluate.py hardcoded TP exclusions
+LEAVE_OUT = {
+    'traffic_cone': {'attr_err', 'vel_err', 'orient_err'},
+    'barrier': {'attr_err', 'vel_err'}}
 
 
 def _scale_iou(pred_wlh: np.ndarray, gt_wlh: np.ndarray) -> float:
@@ -57,134 +77,235 @@ def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
     return abs(d)
 
 
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit utils.cummean: nan-aware cumulative mean; all-nan -> ones."""
+    if np.isnan(x).sum() == len(x):
+        return np.ones(len(x))
+    sum_vals = np.nancumsum(x.astype(np.float64))
+    count_vals = np.cumsum(~np.isnan(x))
+    return np.divide(sum_vals, count_vals,
+                     out=np.zeros_like(sum_vals), where=count_vals != 0)
+
+
+def ego_distances(boxes: np.ndarray,
+                  l2e_r: Optional[np.ndarray] = None,
+                  l2e_t: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-box xy ego distance from lidar-frame bottom-center boxes [N, >=6].
+
+    devkit ego_dist = ||global gravity center - ego pose||_xy, which equals
+    the ego-frame gravity-center xy norm.  Without lidar->ego calibration
+    the lidar origin stands in for the ego origin."""
+    if len(boxes) == 0:
+        return np.zeros(0)
+    c = boxes[:, :3].astype(np.float64).copy()
+    c[:, 2] += boxes[:, 5] / 2.0   # bottom -> gravity center
+    if l2e_r is not None:
+        c = c @ np.asarray(l2e_r, np.float64).T
+    if l2e_t is not None:
+        c = c + np.asarray(l2e_t, np.float64)
+    return np.linalg.norm(c[:, :2], axis=-1)
+
+
+def filter_sample_by_range(sample: dict,
+                           ranges: Dict[str, float] = CLASS_RANGES) -> dict:
+    """devkit loaders.filter_eval_boxes class-range filter (strict <).
+
+    Uses sample['ego_dists'] if present, else computes from boxes with the
+    optional 'l2e_r'/'l2e_t' entries."""
+    names = np.asarray(sample['names'])
+    n = len(names)
+    if n == 0:
+        return sample
+    dists = sample.get('ego_dists')
+    if dists is None:
+        dists = ego_distances(np.asarray(sample['boxes'], np.float64),
+                              sample.get('l2e_r'), sample.get('l2e_t'))
+    maxd = np.asarray([ranges.get(str(nm), np.inf) for nm in names])
+    keep = np.asarray(dists) < maxd
+    out = dict(sample)
+    for k in ('boxes', 'names', 'scores', 'attrs', 'ego_dists'):
+        if k in out and out[k] is not None:
+            out[k] = np.asarray(out[k])[keep]
+    return out
+
+
+def _no_predictions() -> dict:
+    """devkit DetectionMetricData.no_predictions."""
+    md = dict(recall=np.linspace(0, 1, NELEM),
+              precision=np.zeros(NELEM),
+              confidence=np.zeros(NELEM))
+    for m in TP_METRICS:
+        md[m] = np.ones(NELEM)
+    return md
+
+
 def accumulate(preds: List[dict], gts: List[dict], cls: str, dist_th: float
-               ) -> Tuple[np.ndarray, np.ndarray, int, Dict[str, List[float]]]:
-    """Match one class at one threshold over all samples.
+               ) -> dict:
+    """devkit algo.accumulate for one (class, threshold).
 
-    preds/gts: per-sample dicts {boxes [N, 9], names [N], scores [N] (preds),
-    attrs optional}.  Returns (tp flags sorted by score desc, scores, npos,
-    per-match tp errors)."""
-    all_scores, all_tp = [], []
-    errors: Dict[str, List[float]] = {m: [] for m in TP_METRICS}
-    npos = 0
-    for pred, gt in zip(preds, gts):
-        gmask = gt['names'] == cls
-        gboxes = gt['boxes'][gmask]
-        gattrs = gt.get('attrs')
-        gattrs = gattrs[gmask] if gattrs is not None else None
-        npos += len(gboxes)
-        pmask = pred['names'] == cls
-        pboxes = pred['boxes'][pmask]
-        pscores = pred['scores'][pmask]
-        pattrs = pred.get('attrs')
-        pattrs = pattrs[pmask] if pattrs is not None else None
-        order = np.argsort(-pscores)
-        taken = np.zeros(len(gboxes), bool)
-        for pi in order:
-            all_scores.append(pscores[pi])
-            if len(gboxes) == 0:
-                all_tp.append(0)
-                continue
-            d = np.linalg.norm(pboxes[pi, :2] - gboxes[:, :2], axis=-1)
-            d[taken] = np.inf
-            gi = int(d.argmin())
-            if d[gi] < dist_th:
-                taken[gi] = True
-                all_tp.append(1)
-                errors['trans_err'].append(float(d[gi]))
-                errors['scale_err'].append(
-                    1.0 - _scale_iou(pboxes[pi, 3:6], gboxes[gi, 3:6]))
-                period = np.pi if cls == 'barrier' else 2 * np.pi
-                errors['orient_err'].append(
-                    0.0 if cls in NO_ORIENT else
-                    _yaw_diff(pboxes[pi, 6], gboxes[gi, 6], period))
-                errors['vel_err'].append(
-                    0.0 if cls in NO_VEL else float(np.linalg.norm(
-                        pboxes[pi, 7:9] - gboxes[gi, 7:9])))
-                if cls in NO_ATTR or pattrs is None or gattrs is None:
-                    errors['attr_err'].append(0.0)
-                else:
-                    errors['attr_err'].append(
-                        0.0 if pattrs[pi] == gattrs[gi] else 1.0)
-            else:
-                all_tp.append(0)
-    scores = np.asarray(all_scores)
-    tp = np.asarray(all_tp)
-    order = np.argsort(-scores)
-    return tp[order], scores[order], npos, errors
-
-
-def average_precision(tp: np.ndarray, npos: int) -> float:
-    """101-point interpolated AP with min recall/precision 0.1 (devkit)."""
-    if npos == 0 or len(tp) == 0:
-        return float('nan') if npos == 0 else 0.0
-    cum_tp = np.cumsum(tp)
-    cum_fp = np.cumsum(1 - tp)
-    prec = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
-    rec = cum_tp / npos
-    rec_interp = np.linspace(0, 1, 101)
-    prec_i = np.interp(rec_interp, rec, prec, right=0)
-    prec_i = prec_i[rec_interp > MIN_RECALL]
-    prec_i = np.clip(prec_i - MIN_PRECISION, 0, None)
-    return float(prec_i.sum() / (len(prec_i) * (1 - MIN_PRECISION)))
-
-
-def tp_error_mean(errors: List[float], tp: np.ndarray, npos: int) -> float:
-    """devkit calc_tp: cumulative mean of TP errors interpolated onto the
-    101-point recall grid, averaged between MIN_RECALL and the max achieved
-    recall."""
+    preds/gts: parallel per-sample dicts {boxes [N, 9]
+    (x, y, z_bottom, w, l, h, yaw, vx, vy), names [N] str, scores [N]
+    (preds), attrs [N] str optional}.  Returns the metric-data dict
+    {recall, precision, confidence, <tp metric curves>} on the 101-point
+    recall grid."""
+    npos = sum(int((np.asarray(gt['names']) == cls).sum()) for gt in gts)
     if npos == 0:
-        return float('nan')
-    if len(errors) == 0 or len(tp) == 0 or tp.sum() == 0:
+        return _no_predictions()
+
+    # pool class predictions across samples
+    samp_idx, boxes, scores, attrs = [], [], [], []
+    for si, pred in enumerate(preds):
+        pm = np.asarray(pred['names']) == cls
+        if not pm.any():
+            continue
+        pb = np.asarray(pred['boxes'], np.float64)[pm]
+        ps = np.asarray(pred['scores'], np.float64)[pm]
+        pa = pred.get('attrs')
+        pa = np.asarray(pa)[pm] if pa is not None else np.asarray([''] * len(pb))
+        for b, s, a in zip(pb, ps, pa):
+            samp_idx.append(si)
+            boxes.append(b)
+            scores.append(float(s))
+            attrs.append(str(a))
+    if not boxes:
+        return _no_predictions()
+    scores_a = np.asarray(scores)
+    # devkit tie order: sorted by (conf, idx) ascending, reversed
+    order = np.lexsort((np.arange(len(scores_a)), scores_a))[::-1]
+
+    # per-sample GT caches for this class
+    gt_cache = []
+    for gt in gts:
+        gm = np.asarray(gt['names']) == cls
+        gb = np.asarray(gt['boxes'], np.float64)[gm]
+        ga = gt.get('attrs')
+        ga = np.asarray(ga)[gm] if ga is not None else None
+        gt_cache.append((gb, ga, np.zeros(len(gb), bool)))
+
+    tp, fp, conf = [], [], []
+    match = {m: [] for m in TP_METRICS}
+    match_conf = []
+    period = np.pi if cls == 'barrier' else 2 * np.pi
+    for ind in order:
+        si = samp_idx[ind]
+        pb = boxes[ind]
+        gb, ga, taken = gt_cache[si]
+        is_match = False
+        if len(gb):
+            d = np.linalg.norm(pb[:2] - gb[:, :2], axis=-1)
+            d = np.where(taken, np.inf, d)
+            gi = int(d.argmin())
+            is_match = bool(d[gi] < dist_th)
+        if is_match:
+            taken[gi] = True
+            tp.append(1)
+            fp.append(0)
+            conf.append(scores_a[ind])
+            match['trans_err'].append(float(d[gi]))
+            match['vel_err'].append(float(np.linalg.norm(
+                pb[7:9] - gb[gi, 7:9])))
+            match['scale_err'].append(1.0 - _scale_iou(pb[3:6], gb[gi, 3:6]))
+            match['orient_err'].append(
+                _yaw_diff(float(pb[6]), float(gb[gi, 6]), period))
+            # devkit attr_acc: nan when GT attr is '' (or unavailable)
+            if ga is None or str(ga[gi]) == '':
+                match['attr_err'].append(np.nan)
+            else:
+                match['attr_err'].append(
+                    1.0 - float(str(ga[gi]) == attrs[ind]))
+            match_conf.append(scores_a[ind])
+        else:
+            tp.append(0)
+            fp.append(1)
+            conf.append(scores_a[ind])
+
+    if len(match['trans_err']) == 0:
+        return _no_predictions()
+
+    tp_c = np.cumsum(tp).astype(np.float64)
+    fp_c = np.cumsum(fp).astype(np.float64)
+    conf_a = np.asarray(conf, np.float64)
+    prec = tp_c / (fp_c + tp_c)
+    rec = tp_c / float(npos)
+    rec_interp = np.linspace(0, 1, NELEM)
+    prec_i = np.interp(rec_interp, rec, prec, right=0)
+    conf_i = np.interp(rec_interp, rec, conf_a, right=0)
+    md = dict(recall=rec_interp, precision=prec_i, confidence=conf_i)
+    mc = np.asarray(match_conf, np.float64)
+    for m in TP_METRICS:
+        tmp = _cummean(np.asarray(match[m], np.float64))
+        md[m] = np.interp(conf_i[::-1], mc[::-1], tmp[::-1])[::-1]
+    return md
+
+
+def calc_ap(md: dict, min_recall: float = MIN_RECALL,
+            min_precision: float = MIN_PRECISION) -> float:
+    """devkit algo.calc_ap."""
+    prec = np.copy(md['precision'])
+    prec = prec[round(100 * min_recall) + 1:]
+    prec -= min_precision
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - min_precision)
+
+
+def _max_recall_ind(md: dict) -> int:
+    non_zero = np.nonzero(md['confidence'])[0]
+    return int(non_zero[-1]) if len(non_zero) else 0
+
+
+def calc_tp(md: dict, metric: str, min_recall: float = MIN_RECALL) -> float:
+    """devkit algo.calc_tp."""
+    first_ind = round(100 * min_recall) + 1
+    last_ind = _max_recall_ind(md)
+    if last_ind < first_ind:
         return 1.0
-    e = np.asarray(errors, np.float64)           # per-match, score-desc order
-    cum_mean = np.cumsum(e) / np.arange(1, len(e) + 1)
-    # recall achieved at each MATCH (tp entries only)
-    rec_at_match = np.arange(1, len(e) + 1) / npos
-    rec_interp = np.linspace(0, 1, 101)
-    max_rec = rec_at_match[-1]
-    sel = (rec_interp > MIN_RECALL) & (rec_interp <= max_rec + 1e-9)
-    if not sel.any():
-        return 1.0
-    vals = np.interp(rec_interp[sel], rec_at_match, cum_mean)
-    return float(vals.mean())
+    return float(np.mean(md[metric][first_ind:last_ind + 1]))
 
 
 def evaluate(preds: List[dict], gts: List[dict],
-             classes: Sequence[str] = CLASSES) -> Dict[str, float]:
-    """Full metric suite.  preds/gts are parallel per-sample lists with keys
-    boxes [N, 9] (x, y, z, w, l, h, yaw, vx, vy), names [N] (str array),
-    scores [N] (preds only), attrs [N] optional.
+             classes: Sequence[str] = CLASSES,
+             filter_range: bool = True) -> Dict[str, float]:
+    """Full metric suite (devkit evaluate.py semantics).
+
+    preds/gts are parallel per-sample lists with keys boxes [N, 9]
+    (x, y, z_bottom, w, l, h, yaw, vx, vy), names [N] (str array), scores
+    [N] (preds only), attrs [N] optional, plus optional 'l2e_r'/'l2e_t'
+    (lidar->ego) or precomputed 'ego_dists' for the range filter.
     """
+    if filter_range:
+        preds = [filter_sample_by_range(p) for p in preds]
+        gts = [filter_sample_by_range(g) for g in gts]
     metrics: Dict[str, float] = {}
-    aps = []
-    tp_errs = {m: [] for m in TP_METRICS}
+    mean_dist_aps = []
+    label_tp: Dict[str, List[float]] = {m: [] for m in TP_METRICS}
     for cls in classes:
         cls_aps = []
+        md_tp = None
         for th in DIST_THS:
-            tp, scores, npos, errors = accumulate(preds, gts, cls, th)
-            ap = average_precision(tp, npos)
+            md = accumulate(preds, gts, cls, th)
+            ap = calc_ap(md)
             cls_aps.append(ap)
             if th == TP_DIST_TH:
-                for m in TP_METRICS:
-                    v = tp_error_mean(errors[m], tp, npos)
-                    if not np.isnan(v):
-                        skip = ((m == 'vel_err' and cls in NO_VEL) or
-                                (m == 'orient_err' and cls in NO_ORIENT) or
-                                (m == 'attr_err' and cls in NO_ATTR))
-                        if not skip:
-                            tp_errs[m].append(v)
-                        metrics[f'{cls}_{m}'] = v
-        cls_ap = np.nanmean(cls_aps)
-        metrics[f'{cls}_AP'] = float(cls_ap)
-        if not np.isnan(cls_ap):
-            aps.append(cls_ap)
-    mAP = float(np.mean(aps)) if aps else 0.0
+                md_tp = md
+        for m in TP_METRICS:
+            if m in LEAVE_OUT.get(cls, ()):
+                v = float('nan')
+            else:
+                v = calc_tp(md_tp, m)
+            label_tp[m].append(v)
+            metrics[f'{cls}_{m}'] = v
+        cls_ap = float(np.mean(cls_aps))
+        metrics[f'{cls}_AP'] = cls_ap
+        mean_dist_aps.append(cls_ap)
+    mAP = float(np.mean(mean_dist_aps)) if mean_dist_aps else 0.0
     metrics['mAP'] = mAP
     nds_terms = [5 * mAP]
     for m in TP_METRICS:
-        mtp = float(np.mean(tp_errs[m])) if tp_errs[m] else 1.0
+        with np.errstate(invalid='ignore'):
+            mtp = float(np.nanmean(label_tp[m])) if label_tp[m] else 1.0
+        if np.isnan(mtp):
+            mtp = 1.0
         metrics[f'm{m}'] = mtp
-        nds_terms.append(max(0.0, 1.0 - min(1.0, mtp)))
+        nds_terms.append(max(0.0, 1.0 - mtp))
     metrics['NDS'] = float(sum(nds_terms) / 10.0)
     return metrics

@@ -47,14 +47,42 @@ def quat_to_rot(q) -> np.ndarray:
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
+def derive_attr(name: str, speed: float, velocity_thresh: float = 0.2) -> str:
+    """Attribute defaulting used for submissions (ref: mmdet3d
+    NuScenesDataset.DefaultAttribute + velocity heuristic in
+    _format_bbox)."""
+    if name in SPEED_ATTR and speed > velocity_thresh:
+        return SPEED_ATTR[name]
+    return DEFAULT_ATTRIBUTES.get(name, '')
+
+
+def _l2e_of(info: Optional[dict]):
+    if not info or 'lidar2ego_rotation' not in info:
+        return None, None
+    return (quat_to_rot(info['lidar2ego_rotation']),
+            np.asarray(info.get('lidar2ego_translation', np.zeros(3))))
+
+
 def boxes_to_pred_dict(boxes: np.ndarray, scores: np.ndarray,
-                       labels: np.ndarray, valid: np.ndarray) -> dict:
-    """Model outputs (bottom-center lidar boxes) -> evaluator pred dict."""
+                       labels: np.ndarray, valid: np.ndarray,
+                       info: Optional[dict] = None) -> dict:
+    """Model outputs (bottom-center lidar boxes) -> evaluator pred dict.
+
+    `info` (the sample's infos-pkl entry) supplies lidar->ego calibration
+    for the evaluator's exact class-range ego distances and is also used
+    to derive submission attributes from predicted speed."""
     m = np.asarray(valid, bool)
     b = np.asarray(boxes)[m].astype(np.float64)
     # evaluator compares gravity-center-free BEV quantities; keep lidar frame
     names = np.asarray([CLASSES[i] for i in np.asarray(labels)[m]])
-    return dict(boxes=b, names=names, scores=np.asarray(scores)[m])
+    attrs = np.asarray([derive_attr(str(n), float(np.linalg.norm(bb[7:9])))
+                        for n, bb in zip(names, b)], dtype=object)
+    out = dict(boxes=b, names=names, scores=np.asarray(scores)[m],
+               attrs=attrs)
+    l2e_r, l2e_t = _l2e_of(info)
+    if l2e_r is not None:
+        out['l2e_r'], out['l2e_t'] = l2e_r, l2e_t
+    return out
 
 
 def to_nuscenes_submission(tokens: Sequence[str],
@@ -86,11 +114,8 @@ def to_nuscenes_submission(tokens: Sequence[str],
             # lidar yaw -> global yaw
             yaw = b[6] + np.arctan2(l2e_r[1, 0], l2e_r[0, 0]) + \
                 np.arctan2(e2g_r[1, 0], e2g_r[0, 0])
-            speed = float(np.linalg.norm(b[7:9]))
-            if name in SPEED_ATTR and speed > velocity_thresh:
-                attr = SPEED_ATTR[name]
-            else:
-                attr = DEFAULT_ATTRIBUTES.get(name, '')
+            attr = derive_attr(str(name), float(np.linalg.norm(b[7:9])),
+                               velocity_thresh)
             recs.append(dict(
                 sample_token=token,
                 translation=center.tolist(),
@@ -123,4 +148,11 @@ def gt_dict_from_info(info: dict, classes=CLASSES) -> dict:
         boxes = np.concatenate([boxes, vel], axis=1)
     names = np.asarray(info['gt_names'])[mask]
     keep = np.asarray([n in classes for n in names], bool)
-    return dict(boxes=boxes[keep], names=names[keep])
+    out = dict(boxes=boxes[keep], names=names[keep])
+    attrs = info.get('gt_attrs')
+    if attrs is not None:
+        out['attrs'] = np.asarray(attrs)[mask][keep]
+    l2e_r, l2e_t = _l2e_of(info)
+    if l2e_r is not None:
+        out['l2e_r'], out['l2e_t'] = l2e_r, l2e_t
+    return out

@@ -65,18 +65,18 @@ def run_eval(model, variables, dataset: NuScenesDataset,
             for gi, (idx, s) in enumerate(group):
                 boxes, scores, labels, valid = (out[0][gi], out[1][gi],
                                                 out[2][gi], out[3][gi])
-                preds.append(res.boxes_to_pred_dict(boxes, scores, labels,
-                                                    valid))
-                gts.append(res.gt_dict_from_info(dataset.infos[idx]))
+                preds.append(res.boxes_to_pred_dict(
+                    boxes, scores, labels, valid, info=dataset.get_info(idx)))
+                gts.append(res.gt_dict_from_info(dataset.get_info(idx)))
                 tokens.append(s['token'])
         else:
             idx, s = group[0]
             imgs, cam, shapes = to_eval_inputs(s)
             boxes, scores, labels, valid = jax.device_get(
                 fwd(variables, imgs, cam, shapes))
-            preds.append(res.boxes_to_pred_dict(boxes, scores, labels,
-                                                valid))
-            gts.append(res.gt_dict_from_info(dataset.infos[idx]))
+            preds.append(res.boxes_to_pred_dict(
+                boxes, scores, labels, valid, info=dataset.get_info(idx)))
+            gts.append(res.gt_dict_from_info(dataset.get_info(idx)))
             tokens.append(s['token'])
         done += len(group)
         if verbose and done % 48 < len(group):

@@ -42,12 +42,16 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = 'data') -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data'):
+def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data',
+                       mixed_precision: bool = True):
     """Data-parallel train step over a batched TrainBatch (leading dim B).
 
     Parameters replicated, batch sharded on `axis`; per-sample losses from
-    train_step.compute_losses are averaged globally (grad all-reduce and the
-    reference's reduce_mean normalizers fall out of the global mean).
+    train_step.compute_losses are averaged globally.  The 3D bbox losses
+    use the reference's SYNCED normalizer (cross_attention_head.py:419-420:
+    reduce_mean of num_pos across GPUs, clamped at 1): compute_losses
+    returns them as raw (sum, num_pos) pairs and the global mean factor is
+    applied here — E[l]/E[n], not E[l/n].
     """
     from ..train.train_step import TrainState, compute_losses
 
@@ -57,10 +61,18 @@ def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data'):
         def loss_fn(params):
             variables = {'params': params, 'constants': state.constants}
             rngs = jax.random.split(rng, B)
-            totals, metrics = jax.vmap(
-                lambda b, r: compute_losses(model, variables, b, r))(
+            totals, metrics, deferred = jax.vmap(
+                lambda b, r: compute_losses(model, variables, b, r,
+                                            mixed_precision=mixed_precision,
+                                            sync_bbox_norm=True))(
                 batch, rngs)
-            return totals.mean(), jax.tree.map(jnp.mean, metrics)
+            total = totals.mean()
+            metrics = jax.tree.map(jnp.mean, metrics)
+            for k, (s, f) in deferred.items():
+                v = s.mean() / jnp.maximum(f.mean(), 1.0)
+                total = total + v
+                metrics[k] = v
+            return total, metrics
 
         (total, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

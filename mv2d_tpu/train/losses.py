@@ -69,7 +69,8 @@ def single_layer_loss(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
 def dn_layer_loss(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
                   dn: DNInfo, cfg: MV2DConfig,
                   code_weights: Sequence[float] = CODE_WEIGHTS,
-                  num_tgt_override: Optional[jnp.ndarray] = None
+                  num_tgt_override: Optional[jnp.ndarray] = None,
+                  bbox_avg_factor: Optional[jnp.ndarray] = None
                   ) -> LayerLoss:
     """Denoising loss for one layer (ref dn_loss_single,
     cross_attention_head.py:476-538)."""
@@ -95,38 +96,63 @@ def dn_layer_loss(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
     # dn zeroes the yaw terms (ref :531 - "dn always reduces mAOE")
     bbox_weights = bbox_weights.at[:, 6:8].set(0.0)
     notnan = jnp.isfinite(targets).all(-1, keepdims=True)
+    bbox_avg = bbox_avg_factor if bbox_avg_factor is not None \
+        else jnp.maximum(num_tgt, 1.0)
     loss_bbox = weighted_l1_loss(bbox_preds, jnp.nan_to_num(targets),
                                  bbox_weights * notnan,
-                                 avg_factor=jnp.maximum(num_tgt, 1.0),
-                                 loss_weight=0.25)
+                                 avg_factor=bbox_avg, loss_weight=0.25)
     return LayerLoss(jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox),
                      num_tgt)
 
 
-def mv2d_head_loss(out: ForwardOutputs, gt: GroundTruth3D, cfg: MV2DConfig
-                   ) -> Dict[str, jnp.ndarray]:
-    """Full per-layer stage-weighted 3D losses for one sample."""
+def mv2d_head_loss(out: ForwardOutputs, gt: GroundTruth3D, cfg: MV2DConfig,
+                   sync_bbox_norm: bool = False):
+    """Full per-layer stage-weighted 3D losses for one sample.
+
+    Reference normalizer semantics (cross_attention_head.py:404-431,
+    507-522; sync_cls_avg_factor defaults to False and no config sets it):
+    the CLS losses are normalized by the LOCAL max(num_pos, 1), but the
+    BBOX losses by the cross-GPU `reduce_mean` of num_pos (num_tgt for DN),
+    clamped at 1.  With sync_bbox_norm=True the bbox losses are therefore
+    returned UN-normalized in a second dict {key: (weighted_sum, factor)}
+    so the caller can divide by the global batch-mean factor (E[l]/E[n],
+    not E[l/n]).
+    """
     gravity = bottom_to_gravity(gt.boxes)
     gt_code = normalize_bbox(gravity)
     losses: Dict[str, jnp.ndarray] = {}
+    deferred: Dict[str, tuple] = {}
     L = out.all_cls_scores.shape[0]
+    one = jnp.asarray(1.0) if sync_bbox_norm else None
     # the per-layer matchings are independent: vmap over layers batches the
     # cost matmuls AND the sequential JV augmenting loops (total while_loop
     # trips = max over layers instead of their sum)
     ll = jax.vmap(
         lambda cs, bp: single_layer_loss(cs, bp, out.query_valid, gt_code,
                                          gt.labels, gt.valid,
-                                         cfg.num_classes))(
+                                         cfg.num_classes,
+                                         bbox_avg_factor=one))(
         out.all_cls_scores, out.all_bbox_preds)
     if out.dn_cls_scores is not None:
         dl = jax.vmap(
-            lambda cs, bp: dn_layer_loss(cs, bp, out.dn_info, cfg))(
+            lambda cs, bp: dn_layer_loss(cs, bp, out.dn_info, cfg,
+                                         bbox_avg_factor=one))(
             out.dn_cls_scores, out.dn_bbox_preds)
     for lvl in range(L):
         lw = cfg.stage_loss_weights[lvl]
         losses[f'l{lvl}.loss_cls'] = ll.loss_cls[lvl] * lw
-        losses[f'l{lvl}.loss_bbox'] = ll.loss_bbox[lvl] * lw
+        if sync_bbox_norm:
+            deferred[f'l{lvl}.loss_bbox'] = (ll.loss_bbox[lvl] * lw,
+                                             ll.num_pos[lvl])
+        else:
+            losses[f'l{lvl}.loss_bbox'] = ll.loss_bbox[lvl] * lw
         if out.dn_cls_scores is not None:
             losses[f'l{lvl}.dn_loss_cls'] = dl.loss_cls[lvl] * lw
-            losses[f'l{lvl}.dn_loss_bbox'] = dl.loss_bbox[lvl] * lw
+            if sync_bbox_norm:
+                deferred[f'l{lvl}.dn_loss_bbox'] = (dl.loss_bbox[lvl] * lw,
+                                                    dl.num_pos[lvl])
+            else:
+                losses[f'l{lvl}.dn_loss_bbox'] = dl.loss_bbox[lvl] * lw
+    if sync_bbox_norm:
+        return losses, deferred
     return losses

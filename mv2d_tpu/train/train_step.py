@@ -58,8 +58,8 @@ def _bf16_cast(tree):
 
 def compute_losses(model: MV2D, variables, batch: TrainBatch,
                    rng: jax.Array,
-                   mixed_precision: bool = True
-                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                   mixed_precision: bool = True,
+                   sync_bbox_norm: bool = False):
     """Full training losses for one scene.
 
     mixed_precision=True runs the forward in bf16 (params cast per step,
@@ -67,6 +67,12 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
     reference's Fp16OptimizerHook + dynamic loss scale (bf16 needs no
     scaling; geometry fp32 islands are explicit casts inside the model,
     and losses are computed in f32 like the reference's force_fp32 heads).
+
+    sync_bbox_norm=True returns (total, metrics, deferred) where `deferred`
+    holds the 3D bbox losses as (weighted_sum, num_pos) pairs NOT included
+    in `total`: the caller normalizes them by the global batch-mean num_pos
+    (the reference's cross-GPU reduce_mean, cross_attention_head.py:419-420,
+    517-521) and adds them to the total.
     """
     cfg = model.cfg
     if mixed_precision:
@@ -89,7 +95,12 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
         # full [V, ~180k] maps here only materialized f32 copies
         # (~3.3 ms/step of HBM traffic at recipe shapes)
 
-    losses = mv2d_head_loss(out, batch.gt3d, cfg)
+    if sync_bbox_norm:
+        losses, deferred = mv2d_head_loss(out, batch.gt3d, cfg,
+                                          sync_bbox_norm=True)
+    else:
+        losses = mv2d_head_loss(out, batch.gt3d, cfg)
+        deferred = {}
 
     Vc = cfg.num_views if cfg.num_frames > 1 else cfg.total_views
     if cfg.detector_type == 'single_stage':
@@ -120,6 +131,8 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
         metrics = dict(losses)
         metrics['det_num_pos'] = ss['num_pos'].sum()
         metrics['num_queries'] = out.query_valid.sum()
+        if sync_bbox_norm:
+            return total, metrics, deferred
         return total, metrics
 
     # ---- RPN losses (current-frame views only, ref mv2d_t.py:97-105)
@@ -176,6 +189,8 @@ def compute_losses(model: MV2D, variables, batch: TrainBatch,
         # data (run tools/calibrate_buckets.py and raise it)
         metrics['key_active'] = out.diagnostics['key_active']
         metrics['key_overflow'] = out.diagnostics['key_overflow']
+    if sync_bbox_norm:
+        return total, metrics, deferred
     return total, metrics
 
 
@@ -185,7 +200,14 @@ def make_train_step(model: MV2D, tx: optax.GradientTransformation):
     def train_step(state: TrainState, batch: TrainBatch, rng: jax.Array):
         def loss_fn(params):
             variables = {'params': params, 'constants': state.constants}
-            return compute_losses(model, variables, batch, rng)
+            total, metrics, deferred = compute_losses(
+                model, variables, batch, rng, sync_bbox_norm=True)
+            # single scene: the "global mean" factor is the local one
+            for k, (s, f) in deferred.items():
+                v = s / jnp.maximum(f, 1.0)
+                total = total + v
+                metrics[k] = v
+            return total, metrics
 
         (total, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

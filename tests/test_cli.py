@@ -64,8 +64,11 @@ def test_train_and_test_cli(tmp_path):
     assert 'resumed from' in r.stdout
     assert 'epoch_1' in r.stdout
 
+    # test.py restoring the TRAINING checkpoint (full TrainState ->
+    # weights-only restore, the reference's load_checkpoint flow)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'test.py'), cfg_path,
+         os.path.join(work, 'epoch_1'),
          '--max-samples', '2', '--out', str(tmp_path / 'res.json')],
         env=_env(), capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stderr[-3000:]

@@ -1,0 +1,154 @@
+"""Data-parallel training-step parity tests.
+
+1. Sharding invariance: the SAME global batch of 8 scenes stepped on an
+   8-device mesh must produce the same losses/params as on a 1-device
+   mesh (catches collective/normalizer bugs — the reference's DDP grad
+   allreduce + reduce_mean normalizers are sharding-transparent too).
+2. Synced bbox normalizer semantics (ref cross_attention_head.py:419-420):
+   the DP step's per-layer bbox loss must equal
+   mean_i(weighted_sum_i) / max(mean_i(num_pos_i), 1) — E[l]/E[n] — and
+   NOT the per-scene-normalized mean E[l/n].
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mv2d_tpu import configs
+from mv2d_tpu.core.geometry import prepare_camera_params
+from mv2d_tpu.models.mv2d import MV2D, GroundTruth2D, GroundTruth3D
+from mv2d_tpu.parallel.mesh import make_dp_train_step, make_mesh, shard_batch
+from mv2d_tpu.train.optim import make_optimizer
+from mv2d_tpu.train.train_step import (TrainBatch, compute_losses,
+                                       init_train_state)
+from tests.test_model import make_rig
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _scene(rng, cfg, cam, n_gt):
+    V = cfg.total_views
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)) * 0.1,
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    G2 = 4
+    g2b = np.zeros((V, G2, 4), np.float32)
+    g2v = np.zeros((V, G2), bool)
+    g2b[:, 0] = [20, 16, 60, 48]
+    g2v[:, 0] = True
+    gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
+                         labels=jnp.zeros((V, G2), jnp.int32),
+                         valid=jnp.asarray(g2v))
+    G = cfg.max_gt
+    g3b = np.zeros((G, 9), np.float32)
+    for i in range(n_gt):
+        g3b[i] = [10 + 5 * i, 2 * i, -1, 2, 4, 1.5, 0.3, 0, 0]
+    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                         labels=jnp.zeros((G,), jnp.int32),
+                         valid=jnp.asarray(np.arange(G) < n_gt))
+    return TrainBatch(imgs=imgs, cam=cam, img_shapes=img_shapes,
+                      gt2d=gt2d, gt3d=gt3d)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    rng = np.random.default_rng(0)
+    cfg = configs.tiny(key_mode='pixel', num_frames=1)
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    # varying GT counts so per-scene num_pos differ (the normalizer test
+    # is vacuous otherwise)
+    scenes = [_scene(rng, cfg, cam, n) for n in (1, 3, 2, 1, 4, 2, 3, 1)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    model = MV2D(cfg)
+    s0 = scenes[0]
+    variables = model.init(
+        {'params': KEY, 'aug': KEY, 'dn': KEY, 'dropout': KEY},
+        s0.imgs, s0.cam, s0.img_shapes, s0.gt2d, s0.gt3d,
+        method=MV2D.forward_train)
+    tx = make_optimizer(variables['params'], base_lr=1e-3, total_steps=100,
+                        clip_norm=35.0)
+    return model, variables, tx, batch, scenes
+
+
+def _fresh(variables):
+    # the DP step donates the state: give each run its own copies
+    return jax.tree.map(jnp.array, variables)
+
+
+def _run(model, variables, tx, batch, n_dev):
+    mesh = make_mesh(n_devices=n_dev)
+    state = init_train_state(model, _fresh(variables), tx)
+    # f32 so the only cross-run difference is the sharding itself
+    step = make_dp_train_step(model, tx, mesh, mixed_precision=False)
+    b = shard_batch(mesh, batch) if n_dev > 1 else batch
+    state, metrics = step(state, b, jax.random.PRNGKey(7))
+    return jax.device_get(state), {k: float(v) for k, v in metrics.items()}
+
+
+def test_dp8_matches_dp1(setup):
+    model, variables, tx, batch, _ = setup
+    assert jax.device_count() >= 8
+    # SGD so the parameter delta IS the gradient (x lr): a first Adam step
+    # is ~lr*sign(g), which amplifies f32 cross-sharding noise on
+    # near-zero gradients into full +-lr flips
+    import optax
+    lr = 1e-2
+    sgd = optax.sgd(lr)
+    st8, m8 = _run(model, variables, sgd, batch, 8)
+    st1, m1 = _run(model, variables, sgd, batch, 1)
+    # tolerance note: different shardings lower to different fusions;
+    # tiny f32 differences flip discrete tie-breaks (top-k / NMS / JV
+    # matching on an untrained model) which discretely changes matching
+    # targets, so gradients are NOT elementwise-reproducible across
+    # shardings (observed up to ~20% on single elements).  The failure
+    # modes this test guards - missing grad all-reduce mean (8x norms),
+    # mis-sharded batches (uncorrelated grads), normalizer bugs
+    # (wholesale per-leaf rescales; exact semantics pinned by
+    # test_synced_bbox_normalizer_semantics) - all destroy per-leaf
+    # direction or scale, so compare those.
+    for k in m1:
+        np.testing.assert_allclose(m8[k], m1[k], rtol=5e-3, atol=1e-5,
+                                   err_msg=k)
+    p0 = jax.tree.leaves(variables['params'])
+    flat8 = jax.tree.leaves(st8.params)
+    flat1 = jax.tree.leaves(st1.params)
+    for a, b, p in zip(flat8, flat1, p0):
+        g8 = ((np.asarray(p) - np.asarray(a)) / lr).ravel().astype(np.float64)
+        g1 = ((np.asarray(p) - np.asarray(b)) / lr).ravel().astype(np.float64)
+        n8, n1 = np.linalg.norm(g8), np.linalg.norm(g1)
+        if max(n8, n1) < 1e-6:      # untouched leaf in both runs
+            continue
+        assert min(n8, n1) > 0, 'gradient present in one sharding only'
+        cos = float(g8 @ g1 / (n8 * n1))
+        assert cos > 0.995, (cos, a.shape)
+        ratio = n8 / n1
+        assert 0.9 < ratio < 1.1, (ratio, a.shape)
+
+
+def test_synced_bbox_normalizer_semantics(setup):
+    model, variables, tx, batch, scenes = setup
+    mesh = make_mesh(n_devices=1)
+    state = init_train_state(model, _fresh(variables), tx)
+    step = make_dp_train_step(model, tx, mesh, mixed_precision=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(7))
+
+    # per-scene raw sums + factors straight from compute_losses (f32;
+    # small vmap-vs-single numeric differences remain, hence the rtol)
+    rngs = jax.random.split(jax.random.PRNGKey(7), len(scenes))
+    sums, factors = [], []
+    for s, r in zip(scenes, rngs):
+        _, _, deferred = compute_losses(model, variables, s, r,
+                                        mixed_precision=False,
+                                        sync_bbox_norm=True)
+        sums.append(float(deferred['l0.loss_bbox'][0]))
+        factors.append(float(deferred['l0.loss_bbox'][1]))
+    want = np.mean(sums) / max(np.mean(factors), 1.0)
+    np.testing.assert_allclose(float(metrics['l0.loss_bbox']), want,
+                               rtol=1e-3)
+    # and it must differ from the per-scene-normalized mean (E[l/n])
+    per_scene = np.mean([s / max(f, 1.0) for s, f in zip(sums, factors)])
+    assert abs(want - per_scene) / max(want, 1e-9) > 1e-4
+    # factors really do vary across scenes
+    assert len({int(f) for f in factors}) > 1

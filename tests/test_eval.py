@@ -11,7 +11,8 @@ def _sample(rng, n=5, cls='car'):
     boxes[:, 3:6] = rng.uniform(1, 4, (n, 3))
     boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
     boxes[:, 7:9] = rng.uniform(-2, 2, (n, 2))
-    return dict(boxes=boxes, names=np.asarray([cls] * n))
+    return dict(boxes=boxes, names=np.asarray([cls] * n),
+                attrs=np.asarray(['vehicle.moving'] * n, dtype=object))
 
 
 def test_perfect_predictions_map1(rng):
@@ -19,7 +20,8 @@ def test_perfect_predictions_map1(rng):
     preds = []
     for g in gts:
         p = dict(boxes=g['boxes'].copy(), names=g['names'].copy(),
-                 scores=rng.uniform(0.5, 1.0, len(g['boxes'])))
+                 scores=rng.uniform(0.5, 1.0, len(g['boxes'])),
+                 attrs=g['attrs'].copy())
         preds.append(p)
     m = ne.evaluate(preds, gts, classes=('car',))
     assert m['car_AP'] > 0.99
