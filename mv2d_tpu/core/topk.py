@@ -30,9 +30,9 @@ def fast_topk(x: jnp.ndarray, k: int, approx: bool = True):
 
     approx=True uses the TPU PartialReduce lowering (recall ~0.99,
     exact on non-TPU backends); approx=False or MV2D_EXACT_TOPK=1 uses
-    exact lax.top_k.
+    exact lax.top_k ('' / '0' leave the fast path on).
     """
-    if not approx or os.environ.get('MV2D_EXACT_TOPK'):
+    if not approx or os.environ.get('MV2D_EXACT_TOPK', '') not in ('', '0'):
         return jax.lax.top_k(x, k)
     if k >= x.shape[-1]:
         return jax.lax.top_k(x, k)

@@ -50,7 +50,14 @@ def round_up(x: float, q: int) -> int:
 
 
 def scan_dataset(ds, mcfg, samples: int = 200, seed: int = 0) -> Dict:
-    """Per-sample bucket statistics over `samples` dataset entries."""
+    """Per-sample bucket statistics over `samples` dataset entries.
+
+    The scan must observe UNCENSORED annotation counts: ds.get_sample
+    pads/truncates GT through the very buckets being calibrated, so the
+    dataset's buckets are temporarily swapped for effectively unbounded
+    ones (otherwise --auto-buckets could only ever recommend ~margin x
+    the current bucket while raw annotations still overflow)."""
+    from .nuscenes import SampleBuckets
     n = min(samples, len(ds))
     rng = np.random.default_rng(seed)
     h = mcfg.image_size[0] // mcfg.stride
@@ -58,17 +65,22 @@ def scan_dataset(ds, mcfg, samples: int = 200, seed: int = 0) -> Dict:
     expand = mcfg.correlation.expand_stride
 
     gt3d_counts, gt2d_counts, unions = [], [], []
-    for i in range(n):
-        s = ds.get_sample(i, rng)
-        gt3d_counts.append(int(np.asarray(s['gt3d_valid']).sum()))
-        v2 = np.asarray(s.get('gt2d_valid', np.zeros((1, 1), bool)))
-        gt2d_counts.append(int(v2.sum(axis=-1).max()))
-        total = 0
-        boxes = np.asarray(s.get('gt2d_boxes', np.zeros((1, 0, 4))))
-        for vi in range(boxes.shape[0]):
-            total += pixel_union(boxes[vi], v2[vi], (h, w), mcfg.stride,
-                                 expand)
-        unions.append(total)
+    saved_buckets = ds.buckets
+    ds.buckets = SampleBuckets(max_gt3d=8192, max_gt2d=8192)
+    try:
+        for i in range(n):
+            s = ds.get_sample(i, rng)
+            gt3d_counts.append(int(np.asarray(s['gt3d_valid']).sum()))
+            v2 = np.asarray(s.get('gt2d_valid', np.zeros((1, 1), bool)))
+            gt2d_counts.append(int(v2.sum(axis=-1).max()))
+            total = 0
+            boxes = np.asarray(s.get('gt2d_boxes', np.zeros((1, 0, 4))))
+            for vi in range(boxes.shape[0]):
+                total += pixel_union(boxes[vi], v2[vi], (h, w), mcfg.stride,
+                                     expand)
+            unions.append(total)
+    finally:
+        ds.buckets = saved_buckets
     return dict(n=n, total=len(ds), feat_hw=(h, w),
                 gt3d_counts=gt3d_counts, gt2d_counts=gt2d_counts,
                 unions=unions)
@@ -105,7 +117,7 @@ def apply_to_config(cfg: dict, rec: Dict[str, int], mcfg) -> Dict[str, int]:
     applied {name: value} mapping."""
     overrides = cfg.setdefault('model', {}).setdefault('overrides', {})
     applied = {}
-    for key in ('max_gt', 'k_max'):
+    for key in ('max_gt', 'max_gt2d', 'k_max'):
         cur = overrides.get(key, getattr(mcfg, key))
         if rec[key] > cur:
             overrides[key] = applied[key] = rec[key]

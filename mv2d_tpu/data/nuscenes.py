@@ -34,11 +34,29 @@ CAM_SENSORS = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
                'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
 
 
-def load_infos(path: str) -> List[dict]:
+def load_infos(path: str, load_separate: bool = False) -> List:
+    """Load (and timestamp-sort) the infos pkl.
+
+    load_separate (ref load_annotations, custom_nuscenes_dataset.py:48-57):
+    each info is spilled to its own pkl under `<path minus extension>/`
+    (written once, reused after) and the returned list holds FILE PATHS
+    instead of dicts, keeping resident RAM at one sample."""
     with open(path, 'rb') as f:
         data = pickle.load(f)
     infos = data['infos'] if isinstance(data, dict) else data
-    return sorted(infos, key=lambda e: e['timestamp'])
+    infos = sorted(infos, key=lambda e: e['timestamp'])
+    if load_separate:
+        out_dir = path.rsplit('.', 1)[0] + '_separate'
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, info in enumerate(infos):
+            out_file = os.path.join(out_dir, '%07d.pkl' % i)
+            if not os.path.exists(out_file):
+                with open(out_file, 'wb') as f:
+                    pickle.dump(info, f)
+            paths.append(out_file)
+        return paths
+    return infos
 
 
 class Coco2D:
@@ -128,12 +146,21 @@ class NuScenesDataset:
     bev_aug: bool = True
 
     def __post_init__(self):
-        self.infos = load_infos(self.info_path)
+        self.infos = load_infos(self.info_path, self.load_separate)
         self.coco = Coco2D(self.ann2d_path) if self.ann2d_path else None
         self.ida.final_dim = self.final_dim
 
     def __len__(self):
         return len(self.infos)
+
+    def get_info(self, index: int) -> dict:
+        """Resolve one info entry (reads the per-sample pkl when
+        load_separate spilled the list to paths)."""
+        info = self.infos[index]
+        if isinstance(info, str):
+            with open(info, 'rb') as f:
+                info = pickle.load(f)
+        return info
 
     # ------------------------------------------------------------ raw info
 
@@ -219,10 +246,7 @@ class NuScenesDataset:
         gt2d_boxes/labels/valid [Vc,...] (train only), token.
         """
         rng = rng or np.random.default_rng()
-        info = self.infos[index]
-        if self.load_separate and isinstance(info, str):
-            with open(info, 'rb') as f:
-                info = pickle.load(f)
+        info = self.get_info(index)
         paths, Ks, Es, ts = self._gather_views(info, rng)
         V = len(paths)
         training = not self.test_mode

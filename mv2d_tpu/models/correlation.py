@@ -30,6 +30,7 @@ class CorrelationConfig(NamedTuple):
     depth_start: float = 0.5
     depth_end: float = 70.0
     lid: bool = True
+    mode: str = 'topk_matched'    # 'topk_matched' | 'all_matched'
     topk: int = 20
     iou_thr: float = 0.0
     ratio: float = 0.0
@@ -37,11 +38,14 @@ class CorrelationConfig(NamedTuple):
 
     @classmethod
     def from_mode_string(cls, mode: str, **kw) -> "CorrelationConfig":
-        """Parse the reference's 'topk_matched:K:iou_thr:ratio' string."""
+        """Parse the reference's 'topk_matched:K:iou_thr:ratio' /
+        'all_matched' strings (ref box_correlation.py:305-382)."""
         parts = mode.split(':')
+        if parts[0] == 'all_matched':
+            return cls(mode='all_matched', **kw)
         assert parts[0] == 'topk_matched', f'unsupported mode {mode}'
-        return cls(topk=int(parts[1]), iou_thr=float(parts[2]),
-                   ratio=float(parts[3]), **kw)
+        return cls(mode='topk_matched', topk=int(parts[1]),
+                   iou_thr=float(parts[2]), ratio=float(parts[3]), **kw)
 
 
 def _sample_points_in_boxes(boxes: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -115,17 +119,28 @@ def epipolar_in_box(boxes: jnp.ndarray, valid: jnp.ndarray,
     iou = box_iou_xyxy(hull[:, :, None], boxes[None])[:, :, 0]    # [R, V, P]
     iou = jnp.where(valid[None] & in_view[..., None], iou, 0.0)
 
-    k = min(cfg.topk, P)
-    # NOTE: topk_small_exact (argmax scan) measured SLOWER here on real
-    # TPU (2.45 ms scan vs 1.46 ms sort in the eval device profile) -
-    # the k-step while loop overhead dominates at this shape
-    top_iou, top_idx = jax.lax.top_k(iou, k)                      # [R, V, k]
-    top_ids = jnp.arange(V)[None, :, None] * P + top_idx          # global ids
-    top_max = top_iou.max(-1, keepdims=True)
-    top_mask = ((top_iou > cfg.ratio * top_max) | (top_iou > cfg.iou_thr)) \
-        & (top_iou > 0)
-    top_ids = top_ids.reshape(R, V * k)
-    top_mask = top_mask.reshape(R, V * k)
+    if cfg.mode == 'all_matched':
+        # every box with positive hull-IoU correlates (ref 'all_matched',
+        # box_correlation.py:305-335: all_mask = iou > 0 over matched
+        # views); fixed-shape form = the full [R, V*P] table.  The table
+        # is O(R^2) - fine for the correlation itself, but roi-mode
+        # per-query key gathers scale with it; shipped recipes all use
+        # topk_matched.
+        top_ids = jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None], (R, R))
+        top_mask = (iou > 0).reshape(R, R)
+    else:
+        k = min(cfg.topk, P)
+        # NOTE: topk_small_exact (argmax scan) measured SLOWER here on real
+        # TPU (2.45 ms scan vs 1.46 ms sort in the eval device profile) -
+        # the k-step while loop overhead dominates at this shape
+        top_iou, top_idx = jax.lax.top_k(iou, k)                  # [R, V, k]
+        top_ids = jnp.arange(V)[None, :, None] * P + top_idx      # global ids
+        top_max = top_iou.max(-1, keepdims=True)
+        top_mask = ((top_iou > cfg.ratio * top_max) |
+                    (top_iou > cfg.iou_thr)) & (top_iou > 0)
+        top_ids = top_ids.reshape(R, V * k)
+        top_mask = top_mask.reshape(R, V * k)
 
     self_ids = jnp.arange(R, dtype=top_ids.dtype)[:, None]
     corr_ids = jnp.concatenate([self_ids, top_ids], axis=1)

@@ -76,6 +76,8 @@ class MV2DConfig(NamedTuple):
     denoise_noise_trans: float = 0.0
     denoise_split: float = 0.6
     max_gt: int = 96              # GT bucket (DN groups are max_gt wide)
+    max_gt2d: int = 64            # per-view 2D GT bucket (GT-complemented
+                                  # proposal slots, so a model-shape bucket)
     # eval decoding
     max_num: int = 300            # NMS-free top-k per scene
     max_per_scene: int = 300
@@ -233,12 +235,13 @@ class MV2D(nn.Module):
                       valid=valid, num_gt=gt.valid.sum().astype(jnp.int32))
         return noisy, info
 
-    def _dn_self_mask(self, num_match: int) -> jnp.ndarray:
+    def _dn_self_mask(self, match_valid: jnp.ndarray,
+                      dn_valid: jnp.ndarray) -> jnp.ndarray:
         """Allowed mask [Q, Q] (ref attn_mask construction,
         mv2d_s_head.py:92-104, inverted to 'allowed')."""
         c = self.cfg
         P, G = c.dn_pad, c.max_gt
-        Q = P + num_match
+        Q = P + match_valid.shape[0]
         gid = jnp.arange(Q) // G        # DN group id; match queries >= S
         is_dn = jnp.arange(Q) < P
         allowed = jnp.ones((Q, Q), dtype=bool)
@@ -248,7 +251,21 @@ class MV2D(nn.Module):
         same_group = gid[:, None] == gid[None, :]
         dn_pair = is_dn[:, None] & is_dn[None, :]
         allowed &= ~(dn_pair & ~same_group)
-        return allowed
+        # padded (invalid) slots are masked out as self-attn KEYS: the
+        # reference's ragged query set never contains them, so garbage
+        # dummy-slot values must not leak into valid queries.  The
+        # diagonal stays allowed so no row is ever fully masked.
+        col_valid = jnp.concatenate([dn_valid, match_valid])
+        allowed &= col_valid[None, :]
+        return allowed | jnp.eye(Q, dtype=bool)
+
+    def _match_self_mask(self, match_valid: jnp.ndarray) -> jnp.ndarray:
+        """Non-DN self-attn mask: only VALID queries act as keys (the
+        reference folds exactly the real detections into its global
+        self-attention, petr_transformer.py:346-351 - padded slots must
+        not perturb them); diagonal kept to avoid fully-masked rows."""
+        R = match_valid.shape[0]
+        return match_valid[None, :] | jnp.eye(R, dtype=bool)
 
     # ----------------------------------------------------------- main head
 
@@ -314,6 +331,14 @@ class MV2D(nn.Module):
             # all V*h*w (saves the [R, V*hw] f32 intermediate)
             qact = A.any(axis=0).reshape(V, P)
             union = (in_roi & qact[:, :, None]).any(axis=1).reshape(-1)
+            if not deterministic:
+                # training fake-key trick (ref mv2d_head.py:157-159):
+                # queries whose correlation pixel mask is empty attend to
+                # feature pixel (view 0, y 0, x 0) instead of nothing,
+                # which also forces that pixel into the gathered union
+                roi_has_pix = in_roi.any(-1).reshape(R)
+                empty_q = ~(A & roi_has_pix[None]).any(-1)       # [R]
+                union = union.at[0].set(union[0] | empty_q.any())
             n_active = union.sum().astype(jnp.int32)
             key_overflow = jnp.maximum(n_active - c.k_max, 0)
             key_idx, key_active = gather_active_keys(union, c.k_max)
@@ -329,6 +354,19 @@ class MV2D(nn.Module):
                               G.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
             cross = (hits > 0.5) & key_ok[None]                  # [R, K]
+            if not deterministic:
+                fake_col = (key_idx == 0) & key_active
+                cross = cross | (empty_q[:, None] & fake_col[None])
+        elif use_dn:  # roi mode + DN (ref mv2d_s_head.py:158-180)
+            # keys = ALL rois' 7x7 features as one shared set; real
+            # queries see only their correlated rois' pixels (the
+            # scatter-built cross_attn_mask), DN rows see every valid roi
+            # (cross_attn_mask_pad = zeros)
+            area = c.roi_size * c.roi_size
+            A = adjacency_from_correlation(corr_ids, corr_mask, R)
+            keys = bbox_feats.reshape(R * area, C)
+            key_pos = roi_pe.reshape(R * area, C)
+            cross = jnp.repeat(A, area, axis=1)                  # [R, R*A]
         else:  # roi mode (MV2D-S, ref mv2d_s_head.py:184-192)
             Ccorr = corr_ids.shape[1]
             area = c.roi_size * c.roi_size
@@ -341,21 +379,20 @@ class MV2D(nn.Module):
         if use_dn:
             noisy_refs, dn_info = self._prepare_dn(gt, dn_rng)
             refs_all = jnp.concatenate([noisy_refs, ref_pts], axis=0)
-            self_allowed = self._dn_self_mask(R)
+            self_allowed = self._dn_self_mask(flat_valid, dn_info.valid)
             if c.key_mode == 'pixel':
                 dn_cross = jnp.broadcast_to((union[key_idx] & key_ok)[None],
                                             (c.dn_pad, cross.shape[1]))
-                cross_all = jnp.concatenate([dn_cross, cross], axis=0)
             else:
-                # roi mode DN uses all rois' own features as keys
-                # (mv2d_s_head.py:158-180); approximated by per-query keys
-                # with full visibility for DN rows
-                raise NotImplementedError(
-                    'roi-mode denoising uses pixel-mode in this build')
+                # DN rows attend to every VALID roi's pixels
+                dn_cross = jnp.broadcast_to(
+                    jnp.repeat(flat_valid, c.roi_size * c.roi_size)[None],
+                    (c.dn_pad, cross.shape[1]))
+            cross_all = jnp.concatenate([dn_cross, cross], axis=0)
         else:
             dn_info = None
             refs_all = ref_pts
-            self_allowed = None
+            self_allowed = self._match_self_mask(flat_valid)
             cross_all = cross
 
         all_cls, all_box = self.bbox_head(refs_all, keys, key_pos,

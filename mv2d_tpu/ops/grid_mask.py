@@ -1,17 +1,27 @@
 """GridMask image augmentation (training only).
 
 Re-implements CustomGridMask (ref: models/utils/grid_mask.py:128-196) with
-jax PRNG: per-view random grid interval/offsets/rotation dropout applied to
-the input images.  Shipped MV2D-T config: use_h/use_w, rotate=1 (no rotation
-range beyond 1 => rotation disabled is k=0..0), ratio 0.4-0.6, mode=1 (keep
-grid cells, zero the bands), prob 0.7, interv_ratio 0.8 (..._ep24.py:12-21).
+jax PRNG, matching the reference's sampling and mask algebra exactly:
 
-The reference samples a random integer grid spacing d in
-[interv_ratio * base, base] with base = 2..min(h,w), builds 1D on/off band
-patterns for rows and columns, and (mode=1) keeps pixels where both bands are
-on.  We reproduce that with static shapes; rotation of the mask grid is
-approximated by a random phase offset per axis (the config uses rotate=1,
-i.e. rotation k in {0}, so this matches the shipped recipe exactly).
+  * one Bernoulli(prob) gate for the WHOLE multi-view batch (ref :146),
+  * per view: integer grid period d ~ randint(2, max(int(H*interv_ratio),
+    3)), ratio ~ U(ratio_range), band length l = clip(int(d*ratio + 0.5),
+    1, d-1), integer band offsets st_h/st_w ~ randint(d) on a 1.5x canvas,
+  * the base mask zeroes the UNION of row bands (use_h) and column bands
+    (use_w) on the canvas; bands are only drawn for period indices
+    i < canvas_extent // d (ref loop bound :161-166),
+  * rotation: r ~ randint(rotate) DEGREES of the canvas mask about its
+    center (nearest sampling, out-of-canvas = masked, like PIL
+    Image.rotate's fill=0), then center crop to (H, W).  The shipped
+    recipes use rotate=1 => r = 0, where this path is skipped entirely,
+  * mode=0 keeps the cells (x * mask), mode=1 keeps the band union
+    (x * (1 - mask)) (ref :180-183).  Shipped MV2D-T config: use_h/use_w,
+    rotate=1, ratio 0.4-0.6, mode=1, prob 0.7, interv_ratio 0.8
+    (..._ep24.py:12-21).
+
+The s2d path ([V, H/2, W/2, 12] pre-folded input, (dy, dx, c) channel
+order) evaluates the SAME full-resolution keep grid and folds it, so
+fold(grid_mask(x)) == grid_mask(fold(x)) exactly.
 """
 from __future__ import annotations
 
@@ -19,49 +29,88 @@ import jax
 import jax.numpy as jnp
 
 
+def _bands(coord, st, d, length, n_periods):
+    """True where `coord` (canvas axis position) falls inside a drawn band:
+    band i covers [d*i + st, d*i + st + length) for i in [0, n_periods)."""
+    rel = coord - st
+    return (rel >= 0) & (rel % d < length) & (rel // d < n_periods)
+
+
+def grid_keep_mask(d: jnp.ndarray, length: jnp.ndarray, st_h: jnp.ndarray,
+                   st_w: jnp.ndarray, r, hw, mode: int = 1,
+                   rotate: int = 1, use_h: bool = True,
+                   use_w: bool = True) -> jnp.ndarray:
+    """Deterministic mask construction given the per-view integer draws.
+
+    d/length/st_h/st_w: [V] int32; r: [V] int32 rotation degrees (ignored
+    when rotate <= 1); hw: full-res (H, W).  Returns keep [V, H, W] bool."""
+    V = d.shape[0]
+    H, W = hw
+    hh, ww = int(1.5 * H), int(1.5 * W)
+    oy, ox = (hh - H) // 2, (ww - W) // 2
+    dv = d[:, None]
+    lv = length[:, None]
+    if rotate <= 1:      # r = randint(1) = 0: no rotation (shipped recipes)
+        ys = (jnp.arange(H, dtype=jnp.int32) + oy)[None]          # canvas y
+        xs = (jnp.arange(W, dtype=jnp.int32) + ox)[None]
+        on_y = _bands(ys, st_h[:, None], dv, lv, (hh // d)[:, None]) \
+            if use_h else jnp.zeros((V, H), bool)
+        on_x = _bands(xs, st_w[:, None], dv, lv, (ww // d)[:, None]) \
+            if use_w else jnp.zeros((V, W), bool)
+        banded = on_y[:, :, None] | on_x[:, None, :]              # [V, H, W]
+        inside = jnp.ones((), bool)
+    else:
+        ang = jnp.deg2rad(r.astype(jnp.float32))
+        cy, cx = hh / 2.0, ww / 2.0
+        yo = (jnp.arange(H, dtype=jnp.float32) + oy + 0.5 - cy)[None, :, None]
+        xo = (jnp.arange(W, dtype=jnp.float32) + ox + 0.5 - cx)[None, None, :]
+        ca = jnp.cos(ang)[:, None, None]
+        sa = jnp.sin(ang)[:, None, None]
+        # inverse rotation (output -> input canvas coords), nearest; the
+        # sign convention matches PIL Image.rotate (counterclockwise in
+        # y-down image coords) bit-exactly on the tested angles
+        xin = jnp.floor(ca * xo - sa * yo + cx).astype(jnp.int32)
+        yin = jnp.floor(sa * xo + ca * yo + cy).astype(jnp.int32)
+        inside = (xin >= 0) & (xin < ww) & (yin >= 0) & (yin < hh)
+        dv3, lv3 = d[:, None, None], length[:, None, None]
+        on_y = _bands(yin, st_h[:, None, None], dv3, lv3,
+                      (hh // d)[:, None, None]) if use_h else False
+        on_x = _bands(xin, st_w[:, None, None], dv3, lv3,
+                      (ww // d)[:, None, None]) if use_w else False
+        banded = on_y | on_x
+
+    if mode == 1:
+        # keep the band union; rotated-out-of-canvas pixels (mask0 fill=0)
+        # flip to kept under the inversion (1 - 0 = 1), like the reference
+        return banded | ~inside
+    return ~banded & inside
+
+
 def grid_mask(rng: jax.Array, imgs: jnp.ndarray, prob: float = 0.7,
               ratio_range=(0.4, 0.6), interv_ratio: float = 0.8,
-              mode: int = 1) -> jnp.ndarray:
-    """imgs: [V, H, W, 3] (or pre-folded s2d [V, H/2, W/2, 12] with
-    (dy, dx, c) channel order) -> masked images (training augmentation).
-
-    The s2d path draws the SAME band patterns at full resolution and
-    applies them through broadcast factors, so fold(grid_mask(x)) ==
-    grid_mask(fold(x)) exactly."""
+              mode: int = 1, rotate: int = 1, use_h: bool = True,
+              use_w: bool = True) -> jnp.ndarray:
+    """imgs: [V, H, W, 3] (or pre-folded s2d [V, H/2, W/2, 12]) -> masked
+    images (training augmentation)."""
     V, Hi, Wi, C = imgs.shape
     s2d = C == 12
     H, W = (Hi * 2, Wi * 2) if s2d else (Hi, Wi)
     keys = jax.random.split(rng, 6)
-    apply = jax.random.uniform(keys[0], (V,)) < prob
-    # grid spacing d per view: uniform in [2, min(H, W)] scaled by interv_ratio
-    dmax = min(H, W)
-    d_hi = jax.random.uniform(keys[1], (V,), minval=2.0, maxval=float(dmax))
-    d = jax.random.uniform(keys[2], (V,), minval=interv_ratio, maxval=1.0) * d_hi
-    d = jnp.maximum(d, 2.0)
-    ratio = jax.random.uniform(keys[3], (V,), minval=ratio_range[0],
+    apply = jax.random.uniform(keys[0], ()) < prob      # batch-level gate
+    dmax = max(int(H * interv_ratio), 3)
+    d = jax.random.randint(keys[1], (V,), 2, dmax)
+    ratio = jax.random.uniform(keys[2], (V,), minval=ratio_range[0],
                                maxval=ratio_range[1])
-    keep_len = d * ratio          # length of the kept band within each period
-    off_y = jax.random.uniform(keys[4], (V,)) * d
-    off_x = jax.random.uniform(keys[5], (V,)) * d
+    length = jnp.clip((d * ratio + 0.5).astype(jnp.int32), 1, d - 1)
+    st_h = jnp.floor(jax.random.uniform(keys[3], (V,)) * d).astype(jnp.int32)
+    st_w = jnp.floor(jax.random.uniform(keys[4], (V,)) * d).astype(jnp.int32)
+    r = jax.random.randint(keys[5], (V,), 0, max(rotate, 1))
 
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    # band on = within first keep_len of each period
-    on_y = jnp.mod(ys[None, :] + off_y[:, None], d[:, None]) < keep_len[:, None]
-    on_x = jnp.mod(xs[None, :] + off_x[:, None], d[:, None]) < keep_len[:, None]
+    keep = grid_keep_mask(d, length, st_h, st_w, r, (H, W), mode=mode,
+                          rotate=rotate, use_h=use_h, use_w=use_w)
+    keep = keep | ~apply
     if s2d:
-        ky = on_y.reshape(V, Hi, 2)
-        kx = on_x.reshape(V, Wi, 2)
-        cell = ky[:, :, None, :, None] & kx[:, None, :, None, :]
-        if mode != 1:
-            cell = ~cell
-        cell = cell | ~apply[:, None, None, None, None]
-        keep = jnp.broadcast_to(cell[..., None],
-                                (V, Hi, Wi, 2, 2, 3)).reshape(V, Hi, Wi, 12)
-        return imgs * keep.astype(imgs.dtype)
-    if mode == 1:
-        keep = on_y[:, :, None] & on_x[:, None, :]      # keep grid cells
-    else:
-        keep = ~(on_y[:, :, None] & on_x[:, None, :])
-    keep = keep | ~apply[:, None, None]
+        k = keep.reshape(V, Hi, 2, Wi, 2).transpose(0, 1, 3, 2, 4)
+        k = jnp.broadcast_to(k[..., None], (V, Hi, Wi, 2, 2, 3))
+        return imgs * k.reshape(V, Hi, Wi, 12).astype(imgs.dtype)
     return imgs * keep[..., None].astype(imgs.dtype)

@@ -200,14 +200,15 @@ def _sparse_blocks(msk, dims, BK):
 
 def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            allowed: jnp.ndarray, num_heads: int,
-                           block_q: int = 64, block_k: int = 1024,
+                           block_q: int = 64, block_k: int | None = None,
                            interpret: bool | None = None,
                            sparse: bool | None = None) -> jnp.ndarray:
     """q: [Q, C]; k, v: [K, C]; allowed: [Q, K] bool -> [Q, C].
 
     Pads Q and K to block multiples; padded keys are masked out, padded
-    queries discarded.  block_k is accepted for call compatibility (key
-    blocking is no longer needed - logits stay VMEM-resident per head).
+    queries discarded.  block_k sizes the sparse path's key tiles
+    (default 512, MV2D_FLASH_BK env overrides); the dense path ignores it
+    (key blocking is not needed - logits stay VMEM-resident per head).
 
     Differentiable: a custom VJP routes the backward pass through a flash
     backward kernel (softmax recompute per q-block, dK/dV accumulated in
@@ -230,9 +231,18 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # sparse bwd's block-list loop + block-major accumulators lose to
         # the one-shot [BQ, K] bwd at DN-padded query counts), so the
         # decoder passes sparse=deterministic (eval sparse, train dense).
-        # MV2D_FLASH_SPARSE=1/0 forces either path; MV2D_FLASH_BK tunes
-        # the key tile (finer tiles skip more mask but pay more steps).
-        bk = int(os.environ.get('MV2D_FLASH_BK', '512'))
+        # MV2D_FLASH_SPARSE=1/0 forces either path; MV2D_FLASH_BK
+        # overrides the key tile (finer tiles skip more mask but pay more
+        # steps).  An explicitly passed block_k wins unless the env var
+        # is set; either way it must be a 128-lane multiple (Mosaic fails
+        # obscurely otherwise).
+        env_bk = os.environ.get('MV2D_FLASH_BK', '')
+        bk = int(env_bk) if env_bk else (block_k or 512)
+        if bk % 128 != 0 and not interpret:
+            # Mosaic lane constraint on real TPU; interpret mode is exempt
+            raise ValueError(
+                f'sparse flash block_k must be a multiple of 128, got {bk} '
+                f'(from {"MV2D_FLASH_BK" if env_bk else "block_k"})')
         return _flash_sparse(q, k, v, allowed, num_heads, block_q,
                              bk, interpret)
     return _flash(q, k, v, allowed, num_heads, block_q, interpret)

@@ -33,6 +33,31 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), template)
 
 
+def restore_variables(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore eval variables {'params', 'constants'} from a checkpoint that
+    holds either a bare variables dict or a full TrainState (tools/train.py
+    saves the TrainState with opt_state+step; the reference's test.py
+    likewise loads weights out of a training checkpoint,
+    ref: tools/test.py:225 load_checkpoint).
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        return ckptr.restore(path, variables)
+    except Exception:
+        pass
+    raw = ckptr.restore(path)   # structure-free restore (nested dicts)
+    out = {}
+    for k, tmpl in variables.items():
+        if isinstance(raw, dict) and k in raw and raw[k] is not None:
+            out[k] = jax.tree.map(
+                lambda t, s: jnp.asarray(s).astype(t.dtype), tmpl, raw[k])
+        else:
+            out[k] = tmpl
+    return out
+
+
 # ----------------------------------------------------- torch -> JAX mapping
 
 def _conv(w):    # OIHW -> HWIO
@@ -79,6 +104,44 @@ def _map_resnet(key: str) -> Optional[Tuple[str, str]]:
 def _bn_leaf(name: str) -> str:
     return {'weight': 'scale', 'bias': 'bias', 'running_mean': 'mean',
             'running_var': 'var'}.get(name, name)
+
+
+def _map_vovnet(key: str) -> Optional[Tuple[str, str]]:
+    """'backbone.*' VoVNetCP torch key -> (flax path under backbone/, kind).
+
+    Reference naming (models/backbones/vovnetcp.py:101-163, 319-336):
+    'stem.stem_1/conv.weight', 'stage3.OSA3_2.layers.0.OSA3_2_0/conv.weight',
+    'stage3.OSA3_2.concat.OSA3_2_concat/norm.running_mean',
+    'stage3.OSA3_2.ese.fc.weight'.  Stems are 1-indexed, OSA blocks
+    1-indexed; the flax tree is 0-indexed (nn/vovnet.py)."""
+    m = re.match(r'backbone\.stem\.stem_(\d)/conv\.weight', key)
+    if m:
+        return f'stem_{int(m.group(1)) - 1}/conv/kernel', 'conv'
+    m = re.match(r'backbone\.stem\.stem_(\d)/norm\.(\w+)', key)
+    if m:
+        return f'stem_{int(m.group(1)) - 1}/bn/{_bn_leaf(m.group(2))}', 'bn'
+    m = re.match(r'backbone\.stage(\d)\.OSA\d+_(\d+)\.(.*)', key)
+    if not m:
+        return None
+    st, blk, rest = int(m.group(1)), int(m.group(2)) - 1, m.group(3)
+    base = f'stage{st}_{blk}'
+    mm = re.match(r'layers\.(\d+)\.OSA\d+_\d+_\d+/conv\.weight', rest)
+    if mm:
+        return f'{base}/layer_{mm.group(1)}/conv/kernel', 'conv'
+    mm = re.match(r'layers\.(\d+)\.OSA\d+_\d+_\d+/norm\.(\w+)', rest)
+    if mm:
+        return f'{base}/layer_{mm.group(1)}/bn/{_bn_leaf(mm.group(2))}', 'bn'
+    mm = re.match(r'concat\.OSA\d+_\d+_concat/conv\.weight', rest)
+    if mm:
+        return f'{base}/concat/conv/kernel', 'conv'
+    mm = re.match(r'concat\.OSA\d+_\d+_concat/norm\.(\w+)', rest)
+    if mm:
+        return f'{base}/concat/bn/{_bn_leaf(mm.group(1))}', 'bn'
+    mm = re.match(r'ese\.fc\.(weight|bias)', rest)
+    if mm:
+        leaf = 'kernel' if mm.group(1) == 'weight' else 'bias'
+        return f'{base}/ese/fc/{leaf}', 'conv' if leaf == 'kernel' else 'raw'
+    return None
 
 
 def _map_fpn(key: str, start_level: int = 0) -> Optional[Tuple[str, str]]:
@@ -133,9 +196,22 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]
 
     for key, val in state_dict.items():
         val = np.asarray(val)
+        if key.startswith(('stem.', 'stage2.', 'stage3.', 'stage4.',
+                           'stage5.', 'backbone.stem.', 'backbone.stage')):
+            # standalone VoVNet checkpoint (loaded into the backbone via
+            # init_cfg Pretrained in the reference: vovnetcp.py:288), with
+            # or without the 'backbone.' prefix
+            bk = key if key.startswith('backbone.') else 'backbone.' + key
+            m = _map_vovnet(bk)
+            if m:
+                put(f'base_detector/backbone/{m[0]}', val, m[1])
+                continue
+            unmatched.append(key)
+            continue
+
         if key.startswith('base_detector.'):
             sub = key[len('base_detector.'):]
-            m = _map_resnet(sub)
+            m = _map_resnet(sub) or _map_vovnet(sub)
             if m:
                 put(f'base_detector/backbone/{m[0]}', val, m[1])
                 continue

@@ -85,3 +85,65 @@ def test_orbax_roundtrip(tmp_path, rng):
     restored = ck.restore_checkpoint(path, template)
     np.testing.assert_allclose(restored['a'], state['a'])
     np.testing.assert_allclose(restored['nested']['b'], state['nested']['b'])
+
+
+def test_convert_vovnet_keys(rng):
+    """VoVNetCP torch keys (ref vovnetcp.py naming) -> nn/vovnet.py tree:
+    every converted path must exist in a real flax init with equal shape."""
+    import jax
+    import jax.numpy as jnp
+    from mv2d_tpu.nn.vovnet import VoVNet
+
+    model = VoVNet(depth=19)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+
+    sd = {}
+
+    def add(name, shape):
+        sd[name] = rng.normal(size=shape).astype(np.float32)
+
+    # V2-19: stem (64, 64, 128), conv_ch (128,...), out (256,...), 3 layers
+    add('backbone.stem.stem_1/conv.weight', (64, 3, 3, 3))
+    for leaf in ('weight', 'bias', 'running_mean', 'running_var'):
+        add(f'backbone.stem.stem_1/norm.{leaf}', (64,))
+    add('backbone.stem.stem_3/conv.weight', (128, 64, 3, 3))
+    add('backbone.stage2.OSA2_1.layers.0.OSA2_1_0/conv.weight',
+        (128, 128, 3, 3))
+    add('backbone.stage2.OSA2_1.layers.2.OSA2_1_2/conv.weight',
+        (128, 128, 3, 3))
+    add('backbone.stage2.OSA2_1.layers.1.OSA2_1_1/norm.running_mean', (128,))
+    add('backbone.stage2.OSA2_1.concat.OSA2_1_concat/conv.weight',
+        (256, 128 + 3 * 128, 1, 1))
+    add('backbone.stage2.OSA2_1.concat.OSA2_1_concat/norm.weight', (256,))
+    add('backbone.stage2.OSA2_1.ese.fc.weight', (256, 256, 1, 1))
+    add('backbone.stage2.OSA2_1.ese.fc.bias', (256,))
+    add('backbone.stage5.OSA5_1.layers.0.OSA5_1_0/conv.weight',
+        (224, 768, 3, 3))
+
+    # under the base_detector prefix AND as a standalone backbone ckpt
+    for prefix in ('base_detector.', ''):
+        params, constants = ck.convert_torch_state_dict(
+            {prefix + k: v for k, v in sd.items()})
+        assert params['_unmatched'] == 0, params['_unmatched_keys']
+        bb_p = params['base_detector']['backbone']
+        bb_c = constants['base_detector']['backbone']
+        ref_p = variables['params']
+        ref_c = variables['constants']
+
+        def check(tree, ref, path=''):
+            for k, v in tree.items():
+                assert k in ref, f'{path}/{k} not in flax init'
+                if isinstance(v, dict):
+                    check(v, ref[k], f'{path}/{k}')
+                else:
+                    assert np.asarray(v).shape == np.asarray(ref[k]).shape, \
+                        (path, k, np.asarray(v).shape,
+                         np.asarray(ref[k]).shape)
+
+        check(bb_p, ref_p)
+        check(bb_c, ref_c)
+        # OIHW -> HWIO on the ese 1x1
+        np.testing.assert_allclose(
+            bb_p['stage2_0']['ese']['fc']['kernel'][0, 0],
+            sd['backbone.stage2.OSA2_1.ese.fc.weight'][:, :, 0, 0].T)

@@ -117,6 +117,40 @@ def test_correlation_matches_numpy_oracle(rng):
         assert got == want, (r, got, want)
 
 
+def test_all_matched_matches_numpy_oracle(rng):
+    """'all_matched' (ref box_correlation.py:305-335): every box with
+    positive hull-IoU in an epipolar-matched view correlates.  Oracle: the
+    topk path with topk=P and no threshold selects by iou>0 - identical
+    correlated SETS."""
+    K, E = make_rig(3, fx=80.0, size=(64, 96))
+    cam = prepare_camera_params(K, E)
+    V, P = 3, 4
+    boxes = np.zeros((V, P, 4), np.float32)
+    valid = np.zeros((V, P), bool)
+    for v in range(V):
+        n = rng.integers(1, P + 1)
+        xy = rng.uniform(0, 60, (n, 2))
+        wh = rng.uniform(8, 30, (n, 2))
+        boxes[v, :n] = np.concatenate([xy, xy + wh], 1)
+        valid[v, :n] = True
+    cfg = CorrelationConfig.from_mode_string('all_matched', sample_size=4,
+                                             num_depth=8)
+    assert cfg.mode == 'all_matched'
+    ids, mask = epipolar_in_box(jnp.asarray(boxes), jnp.asarray(valid),
+                                cam.trans_mats, (64, 96), cfg)
+    ids, mask = np.asarray(ids), np.asarray(mask)
+    assert ids.shape == (V * P, 1 + V * P)
+    ocfg = CorrelationConfig(sample_size=4, num_depth=8, topk=P,
+                             iou_thr=0.0, ratio=0.0)
+    oid, omask = oracle_epipolar(boxes, valid,
+                                 np.asarray(cam.trans_mats, np.float64),
+                                 (64, 96), ocfg)
+    for r in range(V * P):
+        got = set(ids[r][mask[r]].tolist())
+        want = set(oid[r][omask[r]].tolist())
+        assert got == want, (r, got, want)
+
+
 def test_gathered_cross_equals_full_mask(rng):
     """The key-column-first cross computation (models/mv2d.py pixel branch)
     == gathering columns of the full query_pixel_masks matmul."""

@@ -80,7 +80,7 @@ def test_native_preprocess_matches_numpy(rng):
     assert np.abs(out[0] - ref).mean() < 0.05
 
 
-def _fake_nuscenes(tmpdir, n_samples=2):
+def _fake_nuscenes(tmpdir, n_samples=2, n_gt=1):
     import cv2
     rng = np.random.default_rng(0)
     infos = []
@@ -107,14 +107,16 @@ def _fake_nuscenes(tmpdir, n_samples=2):
                              iscrowd=0, bbox_cam3d=[5.0, 0.0, -1.25 + 0.75]))
             img_id += 1
             ann_id += 1
+        gt = np.asarray([[5.0 + 2.0 * g, 0.0, -1.25, 2.0, 4.0, 1.5, 0.3]
+                         for g in range(n_gt)])
         infos.append(dict(
             token=f'tok{s}', lidar_path='', sweeps=[],
             timestamp=s * 0.5 * 1e6, cams=cams,
-            gt_boxes=np.asarray([[5.0, 0.0, -1.25, 2.0, 4.0, 1.5, 0.3]]),
-            gt_names=np.asarray(['car']),
-            gt_velocity=np.asarray([[1.0, 0.0]]),
-            valid_flag=np.asarray([True]),
-            num_lidar_pts=np.asarray([10])))
+            gt_boxes=gt,
+            gt_names=np.asarray(['car'] * n_gt),
+            gt_velocity=np.asarray([[1.0, 0.0]] * n_gt),
+            valid_flag=np.asarray([True] * n_gt),
+            num_lidar_pts=np.asarray([10] * n_gt)))
     info_path = os.path.join(tmpdir, 'infos.pkl')
     with open(info_path, 'wb') as f:
         pickle.dump(dict(infos=infos), f)
@@ -160,6 +162,51 @@ def test_dataset_two_frames(tmp_path, rng):
     # empty sweeps -> current frame repeated (pad_empty_sweeps)
     assert s['imgs'].shape == (12, 64, 96, 3)
     assert (s['timestamps'][6:] > s['timestamps'][:6]).all()
+
+
+def test_load_separate_roundtrip(tmp_path):
+    """load_separate spills per-sample pkls and resolves them lazily
+    (ref custom_nuscenes_dataset.py:48-57); samples must match the
+    in-memory path exactly."""
+    info_path, coco_path = _fake_nuscenes(str(tmp_path))
+    kw = dict(info_path=info_path, ann2d_path=coco_path, num_frames=1,
+              final_dim=(64, 96),
+              ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
+              test_mode=True)
+    ds_sep = nusc.NuScenesDataset(load_separate=True, **kw)
+    ds_mem = nusc.NuScenesDataset(**kw)
+    assert len(ds_sep) == len(ds_mem)
+    assert isinstance(ds_sep.infos[0], str) and \
+        os.path.exists(ds_sep.infos[0])
+    # get_info resolves paths -> dicts (eval runner / visualize use it)
+    for i in range(len(ds_sep)):
+        gi = ds_sep.get_info(i)
+        assert gi['token'] == ds_mem.get_info(i)['token']
+    s1 = ds_sep.get_sample(0, np.random.default_rng(3))
+    s2 = ds_mem.get_sample(0, np.random.default_rng(3))
+    np.testing.assert_array_equal(s1['imgs'], s2['imgs'])
+    np.testing.assert_array_equal(s1['lidar2img'], s2['lidar2img'])
+    assert s1['token'] == s2['token']
+
+
+def test_calibration_scan_uncensored(tmp_path):
+    """The bucket scan must see RAW annotation counts, not counts clipped
+    by the dataset's current (possibly too-small) buckets."""
+    from mv2d_tpu import configs
+    from mv2d_tpu.data import calibration as cal
+    info_path, coco_path = _fake_nuscenes(str(tmp_path), n_gt=5)
+    ds = nusc.NuScenesDataset(
+        info_path=info_path, ann2d_path=coco_path, num_frames=1,
+        final_dim=(64, 96),
+        ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
+        test_mode=False,
+        buckets=nusc.SampleBuckets(max_gt3d=2, max_gt2d=1))
+    mcfg = configs.tiny(num_views=6)
+    stats = cal.scan_dataset(ds, mcfg, samples=2)
+    # 5 raw GT > the 2-wide bucket: a censored scan would report 2
+    assert max(stats['gt3d_counts']) == 5
+    # and the dataset's own buckets are restored afterwards
+    assert ds.buckets.max_gt3d == 2 and ds.buckets.max_gt2d == 1
 
 
 def test_ms_resize_crop_flip_appends_center_zooms(rng):

@@ -12,8 +12,9 @@ def test_dn_self_attention_mask_structure():
     model = MV2D(cfg)
     m = model.bind({'params': {}})
     R = 10
-    allowed = np.asarray(m._dn_self_mask(R))
     P, G, S = cfg.dn_pad, cfg.max_gt, cfg.denoise_scalar
+    allowed = np.asarray(m._dn_self_mask(jnp.ones(R, bool),
+                                         jnp.ones(P, bool)))
     assert allowed.shape == (P + R, P + R)
     # match queries see each other
     assert allowed[P:, P:].all()
@@ -28,6 +29,28 @@ def test_dn_self_attention_mask_structure():
                 assert not allowed[s:e, j * G:(j + 1) * G].any()
     # DN queries can see match queries (not masked in the reference)
     assert allowed[:P, P:].all()
+
+    # invalid (padded) slots must not act as keys - except on the diagonal
+    mv = np.ones(R, bool)
+    mv[3] = False
+    dv = np.ones(P, bool)
+    dv[1] = False
+    a2 = np.asarray(m._dn_self_mask(jnp.asarray(mv), jnp.asarray(dv)))
+    col = P + 3
+    assert not a2[np.arange(P + R) != col, col].any() and a2[col, col]
+    assert not a2[np.arange(P + R) != 1, 1].any() and a2[1, 1]
+    # valid structure is unchanged elsewhere
+    assert a2[P:, P + 4:].all()
+
+
+def test_match_self_mask_blocks_invalid_columns():
+    cfg = configs.tiny()
+    m = MV2D(cfg).bind({'params': {}})
+    v = jnp.asarray([True, False, True, False])
+    a = np.asarray(m._match_self_mask(v))
+    want = np.asarray([[1, 0, 1, 0], [1, 1, 1, 0],
+                       [1, 0, 1, 0], [1, 0, 1, 1]], bool)
+    np.testing.assert_array_equal(a, want)
 
 
 def test_dn_noise_and_labels(rng):

@@ -134,12 +134,49 @@ def test_query_generator_unprojects(rng):
                         fc_out_channels=32, extra_channels=(16, 8))
     params = qg.init(KEY, roi_feats, jnp.asarray(K), jnp.asarray(ext),
                      jnp.ones(R, dtype=bool))
-    ref, uvd = qg.apply(params, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+    ref, aux = qg.apply(params, roi_feats, jnp.asarray(K), jnp.asarray(ext),
                         jnp.ones(R, dtype=bool))
+    uvd = aux['uvd']
     assert ref.shape == (R, 3) and uvd.shape == (R, 3)
     # identity extrinsic: z_cam == depth
     np.testing.assert_allclose(np.asarray(ref[:, 2]), np.asarray(uvd[:, 2]),
                                rtol=1e-4)
+
+
+def test_query_generator_aux_branches(rng):
+    """Optional cls/size/heading/attr heads (ref query_generator.py
+    with_* flags + per-branch conv/fc stacks; off in shipped configs)."""
+    R, C = 5, 16
+    roi_feats = jnp.asarray(rng.normal(size=(R, 7, 7, C)), dtype=jnp.float32)
+    K = np.tile(np.eye(4, dtype=np.float32), (R, 1, 1))
+    ext = np.tile(np.eye(4, dtype=np.float32), (R, 1, 1))
+    nc = 10
+    qg = QueryGenerator(in_channels=C, conv_out_channels=C,
+                        fc_out_channels=32, extra_channels=(16, 8),
+                        num_classes=nc, with_cls=True, with_size=True,
+                        with_heading=True, with_attr=True, attr_dim=2,
+                        num_cls_fcs=1, num_size_fcs=2)
+    params = qg.init(KEY, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                     jnp.ones(R, dtype=bool))
+    ref, aux = qg.apply(params, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                        jnp.ones(R, dtype=bool))
+    assert aux['cls_score'].shape == (R, nc + 1)        # softmax-style +bg
+    assert aux['size_pred'].shape == (R, 3 * nc)        # class-specific
+    assert aux['heading_pred'].shape == (R, 2)          # (sin, cos)
+    assert aux['attr_pred'].shape == (R, 2)
+    assert ref.shape == (R, 3)
+    # branch fc stacks exist with the configured depth
+    p = params['params']
+    assert 'cls_fc0' in p and 'size_fc1' in p and 'size_fc0' in p
+    # class-agnostic size head
+    qg2 = QueryGenerator(in_channels=C, conv_out_channels=C,
+                         fc_out_channels=32, extra_channels=(16, 8),
+                         with_size=True, reg_class_agnostic=True)
+    p2 = qg2.init(KEY, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                  jnp.ones(R, dtype=bool))
+    _, aux2 = qg2.apply(p2, roi_feats, jnp.asarray(K), jnp.asarray(ext),
+                        jnp.ones(R, dtype=bool))
+    assert aux2['size_pred'].shape == (R, 3)
 
 
 def test_box_head_mask_semantics(rng):

@@ -38,8 +38,9 @@ def build_dataset(cfg: dict, split: str) -> NuScenesDataset:
     final_dim = tuple(d.get('final_dim', (512, 1408)))
     ida = IdaAugConfig(final_dim=final_dim)
     mcfg = build_model_config(cfg)
-    # GT buckets must match the model's static shapes (DN group width)
-    buckets = SampleBuckets(max_gt3d=mcfg.max_gt)
+    # GT buckets must match the model's static shapes (DN group width;
+    # max_gt2d sizes the GT-complement proposal slots)
+    buckets = SampleBuckets(max_gt3d=mcfg.max_gt, max_gt2d=mcfg.max_gt2d)
     return NuScenesDataset(
         info_path=d['info_path'], ann2d_path=d.get('ann2d_path'),
         data_root=d.get('data_root', ''),

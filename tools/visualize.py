@@ -98,7 +98,7 @@ def main():
         model.apply(variables, imgs, cam, shapes))
     keep = np.asarray(valid) & (np.asarray(scores) > args.score_thr)
 
-    gt = gt_dict_from_info(dataset.infos[args.index])
+    gt = gt_dict_from_info(dataset.get_info(args.index))
     if args.cameras:
         V = min(6, s['imgs'].shape[0])
         fig = plt.figure(figsize=(16, 9))
