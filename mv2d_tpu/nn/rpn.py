@@ -124,7 +124,7 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
     valid [V, max_per_img]).
     """
     V = scores[0].shape[0]
-    lvl_boxes, lvl_scores = [], []
+    lvl_boxes, lvl_scores, lvl_ids = [], [], []
     for l, (s, d) in enumerate(zip(scores, deltas)):
         H, W = s.shape[1], s.shape[2]
         anchors = jnp.asarray(grid_anchors((H, W), strides[l], scales, ratios))
@@ -139,13 +139,22 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
         boxes = delta2bbox(top_anchor, top_d, max_shape=image_shape)
         lvl_boxes.append(boxes)
         lvl_scores.append(top_s)
+        lvl_ids.append(jnp.full((boxes.shape[1],), l, jnp.float32))
     all_boxes = jnp.concatenate(lvl_boxes, axis=1)
     all_scores = jax.nn.sigmoid(jnp.concatenate(lvl_scores, axis=1))
     wh = all_boxes[..., 2:4] - all_boxes[..., 0:2]
     valid = jnp.all(wh > min_bbox_size, axis=-1)
+    # mmdet RPNHead._get_bboxes_single suppresses via batched_nms with
+    # LEVEL ids: proposals only suppress within their own FPN level.
+    # Realized as the same per-id box offset trick batched_nms uses.
+    offs = (jnp.concatenate(lvl_ids) *
+            float(2 * (image_shape[0] + image_shape[1])))[None, :, None]
 
     def per_view(b, s, v):
-        ob, os_, _, ov = nms_padded(b, s, v, iou_threshold, max_per_img)
-        return ob, os_, ov
+        _, os_, oi, ov = nms_padded(b, s, v, iou_threshold, max_per_img)
+        return oi, os_, ov
 
-    return jax.vmap(per_view)(all_boxes, all_scores, valid)
+    oi, out_scores, out_valid = jax.vmap(per_view)(
+        all_boxes + offs, all_scores, valid)
+    out_boxes = jnp.take_along_axis(all_boxes, oi[..., None], axis=1)
+    return out_boxes, out_scores, out_valid

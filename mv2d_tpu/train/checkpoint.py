@@ -229,7 +229,16 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]
                 r'roi_head\.bbox_head\.shared_fcs\.(\d)\.(weight|bias)', sub)
             if mm:
                 leaf = 'kernel' if mm.group(2) == 'weight' else 'bias'
-                put(f'base_detector/bbox_head/shared_fc{int(mm.group(1))+1}'
+                idx = int(mm.group(1))
+                if idx == 0 and leaf == 'kernel':
+                    # fc0 consumes the FLATTENED RoI features: torch
+                    # flattens (C, 7, 7), the flax head flattens (7, 7, C)
+                    # - permute the input dim accordingly
+                    out_d, in_d = val.shape
+                    C = in_d // 49
+                    val = val.reshape(out_d, C, 7, 7).transpose(0, 2, 3, 1) \
+                        .reshape(out_d, in_d)
+                put(f'base_detector/bbox_head/shared_fc{idx + 1}'
                     f'/{leaf}', val, 'lin' if leaf == 'kernel' else 'raw')
                 continue
             mm = re.match(r'roi_head\.bbox_head\.fc_(cls|reg)\.(weight|bias)',

@@ -81,6 +81,39 @@ def test_rpn_proposals_end_to_end(rng):
     assert (b[:, 2] <= 96).all() and (b[:, 3] <= 64).all()
 
 
+def test_rpn_nms_is_per_level(rng):
+    """mmdet RPN suppresses via batched_nms with LEVEL ids: identical
+    boxes on different FPN levels must BOTH survive, while same-level
+    duplicates are suppressed (RPNHead._get_bboxes_single)."""
+    V = 1
+    shapes = [(16, 24), (8, 12)]
+    strides = [4, 8]
+    A = 3
+    scores = [np.full((V, h, w, A), -20.0, np.float32) for h, w in shapes]
+    deltas = [np.zeros((V, h, w, A * 4), np.float32) for h, w in shapes]
+    # ratio-1.0 anchor is index 1. stride-4 anchor at grid (2, 2) ->
+    # center (8, 8), 32x32; upsize it x2 so it EQUALS the stride-8
+    # ratio-1 anchor at grid (1, 1) -> center (8, 8), 64x64.
+    scores[0][0, 2, 2, 1] = 5.0
+    deltas[0][0, 2, 2, 4 + 2] = np.log(2.0)     # dw
+    deltas[0][0, 2, 2, 4 + 3] = np.log(2.0)     # dh
+    scores[1][0, 1, 1, 1] = 4.0
+    # same-level duplicate: stride-8 anchor at grid (1, 1), ratio idx 1,
+    # lower score, shifted by one cell -> IoU with the winner ~0.78 > 0.7
+    scores[1][0, 1, 2, 1] = 3.0
+    boxes, s, valid = rpn_proposals(
+        [jnp.asarray(x) for x in scores], [jnp.asarray(x) for x in deltas],
+        strides, (128, 128), nms_pre=10, max_per_img=10)
+    b = np.asarray(boxes[0])[np.asarray(valid[0])]
+    sc = np.asarray(s[0])[np.asarray(valid[0])]
+    # both cross-level twins survive (identical coords, scores 5 and 4)
+    big = b[sc > 0.9]
+    assert len(big) == 2, (b, sc)
+    np.testing.assert_allclose(big[0], big[1], atol=1e-4)
+    # the same-level overlapping box (score sigmoid(3)~0.95) is gone
+    assert not np.any(np.isclose(sc, 1 / (1 + np.exp(-3.0)), atol=1e-4))
+
+
 def test_rcnn_head_and_decode(rng):
     roi_feats = jnp.asarray(rng.normal(size=(12, 7, 7, 16)), dtype=jnp.float32)
     head = Shared2FCBBoxHead(num_classes=10, fc_out_channels=64)
