@@ -37,8 +37,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = 'data') -> Any:
-    """Place a batched pytree (leading dim = global batch) onto the mesh."""
+    """Place a batched pytree onto the mesh.
+
+    Single-process: `batch` leading dim = global batch, device_put scatters
+    it.  Multi-process (jax.distributed): each process passes its LOCAL
+    slice (leading dim = local batch = its addressable mesh devices), and
+    the result is the distributed global array (the host-sharded loading
+    that replaces the reference's DistributedGroupSampler)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

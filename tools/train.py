@@ -83,9 +83,12 @@ def main():
     model = build_model(cfg)
     mcfg = model.cfg
     dataset = build_dataset(cfg, 'train')
-    n_dev = jax.device_count()
+    # each process buffers scenes for ITS devices; shard_batch assembles
+    # the global array across processes (multi-host DP)
+    n_dev = jax.local_device_count()
+    g_dev = jax.device_count()
     epochs = cfg.get('total_epochs', 24)
-    steps_per_epoch = max(1, len(dataset) // n_dev)
+    steps_per_epoch = max(1, len(dataset) // g_dev)
     total_steps = steps_per_epoch * epochs
 
     # ---- init params on one example
@@ -149,6 +152,9 @@ def main():
     global_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         order = rng.permutation(len(dataset))
+        # multi-host: disjoint per-process slice of the shared permutation
+        # (the reference's DistributedGroupSampler rank split)
+        order = order[jax.process_index()::jax.process_count()]
         pf = Prefetcher(dataset, order.tolist(), seed=args.seed + epoch)
         buf = []
         t0 = time.time()
@@ -165,7 +171,7 @@ def main():
             if global_step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(step=global_step, epoch=epoch,
-                         sps=n_dev * log_interval / (time.time() - t0))
+                         sps=g_dev * log_interval / (time.time() - t0))
                 t0 = time.time()
                 print(json.dumps(m))
                 with open(log_path, 'a') as f:
