@@ -62,19 +62,36 @@ def main():
 
     fwd = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes))
 
+    def auto_layout(vs, im):
+        """Compile with AUTO input layouts and pre-place the inputs in the
+        executable's preferred layouts - otherwise XLA inserts a per-call
+        relayout copy of the 52 MB image parameter (~2.2 ms/step in the
+        device trace)."""
+        from jax.experimental.layout import Format, Layout
+        f = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes),
+                    in_shardings=Format(Layout.AUTO))
+        compiled = f.lower(vs, im).compile()
+        fmts = compiled.input_formats[0]
+        vs2, im2 = jax.tree.map(jax.device_put, (vs, im), fmts)
+        return compiled, vs2, im2
+
     def force(out):
         # fetch one element: on the remote-TPU backend block_until_ready
         # acks enqueue rather than completion, so fetch a value
         return jax.device_get(jax.tree.leaves(out)[0].reshape(-1)[0])
 
     def run(vs, im, tag):
-        force(fwd(vs, im))
+        try:
+            f, vs, im = auto_layout(vs, im)
+        except Exception:
+            f = fwd
+        force(f(vs, im))
         for _ in range(4):
-            force(fwd(vs, im))
+            force(f(vs, im))
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fwd(vs, im)
+            out = f(vs, im)
         force(out)
         dt = time.perf_counter() - t0
         return n / dt

@@ -108,48 +108,16 @@ class FoldedConv(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    # whole-STAGE fusion (incl. this block) lives in ops/pallas_stage.py /
+    # ResNet._fused_chain; the earlier per-block fused kernel was removed
+    # after losing to both (docs/PERF.md autopsy, git history)
     planes: int            # bottleneck width; out channels = planes * 4
     stride: int = 1
     downsample: bool = False
     use_dcn: bool = False
-    # opt-in experiment: the whole-block Pallas kernel measured SLOWER than
-    # XLA's in-net convs (0.5-0.8x standalone, see docs/PERF.md) - XLA's
-    # cross-block layout chaining beats the kernel's relayout costs.  Kept
-    # for revival with DMA pipelining + lane-packed P<128 panels.
-    fused: bool = False
-
-    def _fused_inference(self, x):
-        """Whole-block Pallas kernel (identity bottlenecks, inference).
-
-        Reads the conv kernels / frozen-BN stats of the regular submodules
-        (same param tree, so checkpoints are unaffected) and folds the BN
-        affines into the matmul weights; see ops/pallas_bottleneck.py."""
-        from ..ops.pallas_bottleneck import fused_bottleneck
-
-        def fold(conv_name, bn_name):
-            k = self.get_variable('params', conv_name)['kernel']
-            g = self.get_variable('params', bn_name)['scale']
-            b = self.get_variable('params', bn_name)['bias']
-            mean = self.get_variable('constants', bn_name)['mean']
-            var = self.get_variable('constants', bn_name)['var']
-            s = g / jnp.sqrt(var + 1e-5)
-            return k, s, b - mean * s
-
-        k1, s1, b1 = fold('conv1', 'bn1')
-        k2, s2, b2 = fold('conv2', 'bn2')
-        k3, s3, b3 = fold('conv3', 'bn3')
-        p = self.planes
-        w1 = k1[0, 0] * s1[None, :]
-        w2 = (k2 * s2[None, None, None, :]).reshape(9 * p, p)
-        w3 = k3[0, 0] * s3[None, :]
-        return fused_bottleneck(x, w1, b1, w2, b2, w3, b3)
 
     @nn.compact
     def __call__(self, x, fast_inference: bool = False):
-        if (self.fused and fast_inference and not self.use_dcn
-                and self.stride == 1 and not self.downsample
-                and not self.is_initializing()):
-            return self._fused_inference(x)
         identity = x
         s1, b1 = FrozenBatchNorm(self.planes, name='bn1').fold()
         out = FoldedConv(self.planes, (1, 1), name='conv1')(x, s1, b1)
@@ -230,31 +198,40 @@ class ResNet(nn.Module):
             x = jax.lax.stop_gradient(x)
         outs = []
         planes = 64
+        from ..ops import pallas_enabled
+        # fused bottleneck-chain band kernels (ops/pallas_stage.py v2:
+        # im2col 3x3 matmuls): stage 1 fuses whole (incl the projection
+        # block); MV2D_FUSED_STAGES=all additionally fuses later DCN-free
+        # stages' identity tails (blocks 1..n-1; the stride-2 block 0
+        # stays on XLA - measured a small net LOSS at C>=128, where the
+        # per-tap matmuls already run at full contraction depth and the
+        # kernel only adds roll/boundary costs); =0 restores pure XLA.
+        fuse_mode = os.environ.get('MV2D_FUSED_STAGES', '1')
+        fuse_ok = (fuse_mode != '0'
+                   and fast_inference and pallas_enabled()
+                   and not self.is_initializing())
         for stage, n in enumerate(blocks):
             stride = 1 if stage == 0 else 2
-            from ..ops import pallas_enabled
-            # opt-in experiment: the whole-stage fused band kernel measured
-            # slightly SLOWER than in-net XLA (eval 9.60 -> 9.51 s/s) -
-            # like the per-block fusion attempts, the per-tap sublane-shift
-            # relayouts + 64-lane waste cancel the HBM round-trip savings
-            if (os.environ.get('MV2D_FUSED_STAGE1')
-                    and stage == 0 and fast_inference and pallas_enabled()
-                    and not self.stage_with_dcn[0]
-                    and not self.is_initializing()
-                    and x.shape[1] % 32 == 0 and x.shape[2] >= 24
-                    and x.shape[2] % 8 == 0 and x.shape[-1] == planes):
-                # whole-stage fused band kernel (see ops/pallas_stage.py);
+            can_fuse = (fuse_ok and not self.stage_with_dcn[stage]
+                        and (stage == 0 or fuse_mode == 'all')
+                        and (x.shape[1] // stride) % 32 == 0
+                        and x.shape[2] // stride >= 24)
+            if can_fuse and stage == 0 and x.shape[-1] == planes:
                 # the block submodules' params exist from init and are
                 # read + BN-folded here, so checkpoints are unaffected
-                x = self._fused_stage1(x, n, planes)
+                x = self._fused_chain(x, stage, 0, n, planes, has_ds=True)
             else:
-                for i in range(n):
+                tail = n if not (can_fuse and stage > 0 and n > 1) else 1
+                for i in range(tail):
                     x = block_cls(
                         planes,
                         stride=stride if i == 0 else 1,
                         downsample=(i == 0),
                         use_dcn=self.stage_with_dcn[stage],
                         name=f'layer{stage + 1}_{i}')(x, fast_inference)
+                if tail < n:
+                    x = self._fused_chain(x, stage, 1, n, planes,
+                                          has_ds=False)
             if stage < self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
@@ -262,8 +239,8 @@ class ResNet(nn.Module):
             planes *= 2
         return tuple(outs)
 
-    def _fused_stage1(self, x, n, planes):
-        from ..ops.pallas_stage import fused_stage1
+    def _fused_chain(self, x, stage, b0, n, planes, has_ds):
+        from ..ops.pallas_stage import fused_identity_chain, fused_stage1
 
         def fold(p, c, conv, bn):
             k = p[conv]['kernel']
@@ -271,16 +248,18 @@ class ResNet(nn.Module):
             return k * s, p[bn]['bias'] - c[bn]['mean'] * s
 
         blocks = []
-        for i in range(n):
-            p = self.get_variable('params', f'layer1_{i}')
-            c = self.get_variable('constants', f'layer1_{i}')
+        for i in range(b0, n):
+            p = self.get_variable('params', f'layer{stage + 1}_{i}')
+            c = self.get_variable('constants', f'layer{stage + 1}_{i}')
             k1, b1 = fold(p, c, 'conv1', 'bn1')
             k2, b2 = fold(p, c, 'conv2', 'bn2')
             k3, b3 = fold(p, c, 'conv3', 'bn3')
             blk = dict(w1=k1[0, 0], b1=b1, w2=k2, b2=b2, w3=k3[0, 0], b3=b3)
-            if i == 0:
+            if i == 0 and has_ds:
                 kd, bd = fold(p, c, 'downsample_conv', 'downsample_bn')
                 blk['wd'] = kd[0, 0]
                 blk['bd'] = bd
             blocks.append(blk)
-        return fused_stage1(x, blocks, planes)
+        if has_ds:
+            return fused_stage1(x, blocks, planes)
+        return fused_identity_chain(x, blocks, planes)

@@ -128,14 +128,22 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
     for l, (s, d) in enumerate(zip(scores, deltas)):
         H, W = s.shape[1], s.shape[2]
         anchors = jnp.asarray(grid_anchors((H, W), strides[l], scales, ratios))
+        A = s.shape[-1]
         s = s.reshape(V, -1)                                 # [V, HWA]
-        d = d.reshape(V, H * W, -1, 4).reshape(V, -1, 4)
         n_pre = min(nms_pre, s.shape[1])
         # fast_topk: exact lax.top_k here lowers to a ~2 ms chunked
         # key-value sort in-net on TPU (see core/topk.py)
         top_s, top_i = fast_topk(s, n_pre)
         top_anchor = anchors[top_i]                          # [V, n_pre, 4]
-        top_d = jnp.take_along_axis(d, top_i[..., None], axis=1)
+        # gather deltas WITHOUT reshaping the full map to [V, HWA, 4]
+        # (that reshape relayouts the whole delta tensor - ~1 ms at p2):
+        # pick the pixel row from the native [V, HW, A*4] view, then the
+        # anchor's 4-slice
+        dr = d.reshape(V, H * W, A * 4)
+        rows = jnp.take_along_axis(dr, (top_i // A)[..., None], axis=1)
+        top_d = jnp.take_along_axis(
+            rows.reshape(V, n_pre, A, 4),
+            (top_i % A)[..., None, None], axis=2)[:, :, 0]
         boxes = delta2bbox(top_anchor, top_d, max_shape=image_shape)
         lvl_boxes.append(boxes)
         lvl_scores.append(top_s)
