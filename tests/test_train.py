@@ -208,3 +208,47 @@ def test_grad_all_false_two_frame(rng):
         assert float(metrics['grad_norm']) > 0
         outs[ga] = float(metrics['total_loss'])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5)
+
+
+def test_roi_mode_denoise_train_step(rng):
+    """MV2D-S with use_denoise=True (roi-mode DN, ref mv2d_s_head.py:
+    158-180): full train step runs, DN losses present and finite, grads
+    flow (closed round-1 NotImplementedError)."""
+    cfg = configs.tiny(key_mode='roi', num_frames=1, use_denoise=True)
+    V = cfg.total_views
+    K, E = make_rig(V)
+    cam = prepare_camera_params(K, E)
+    imgs = jnp.asarray(rng.normal(size=(V, *cfg.image_size, 3)) * 0.1,
+                       dtype=jnp.float32)
+    img_shapes = jnp.asarray([[*cfg.image_size]] * V)
+    G2 = 4
+    g2b = np.zeros((V, G2, 4), np.float32)
+    g2v = np.zeros((V, G2), bool)
+    g2b[:, 0] = [20, 16, 60, 48]
+    g2v[:, 0] = True
+    gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
+                         labels=jnp.zeros((V, G2), jnp.int32),
+                         valid=jnp.asarray(g2v))
+    G = cfg.max_gt
+    g3b = np.zeros((G, 9), np.float32)
+    g3b[0] = [10, 0, -1, 2, 4, 1.5, 0.3, 0, 0]
+    g3b[1] = [-15, 5, -1, 2, 4, 1.5, -0.4, 0, 0]
+    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                         labels=jnp.zeros((G,), jnp.int32),
+                         valid=jnp.asarray(np.arange(G) < 2))
+    batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=img_shapes,
+                       gt2d=gt2d, gt3d=gt3d)
+
+    model = MV2D(cfg)
+    variables = model.init(
+        {'params': KEY, 'aug': KEY, 'dn': KEY, 'dropout': KEY},
+        imgs, cam, img_shapes, gt2d, gt3d, method=MV2D.forward_train)
+    tx = make_optimizer(variables['params'], base_lr=1e-3, total_steps=10,
+                        clip_norm=35.0)
+    state = init_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['total_loss']))
+    assert 'l0.dn_loss_cls' in metrics and 'l0.dn_loss_bbox' in metrics
+    assert np.isfinite(float(metrics['l0.dn_loss_cls']))
+    assert float(metrics['grad_norm']) > 0
