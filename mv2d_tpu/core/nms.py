@@ -101,9 +101,10 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     b = boxes[order]
     s = masked[order]
     v = valid[order]
-    # NOTE: a single-kernel Pallas NMS (ops/pallas_nms.py) was measured 9x
-    # SLOWER than this blocked scan on v5e (per-iteration dynamic scalar
-    # reads); the scan with the fixpoint inner solve is the fast path.
+    # NOTE: a single-kernel Pallas NMS was measured 9x SLOWER than this
+    # blocked scan on v5e (per-iteration dynamic scalar reads; removed,
+    # see git history).  A max_out early-exit while_loop variant crashed
+    # the axon TPU worker reproducibly (docs/PERF.md) - keep the scan.
     keep = _greedy_suppress_boxes(b, v, iou_threshold,
                                   box_utils.box_iou_xyxy)
     # compact kept entries to the front (stable: already score-sorted)
