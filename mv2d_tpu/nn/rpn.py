@@ -124,7 +124,7 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
     valid [V, max_per_img]).
     """
     V = scores[0].shape[0]
-    lvl_boxes, lvl_scores, lvl_ids = [], [], []
+    lvl_boxes, lvl_scores = [], []
     for l, (s, d) in enumerate(zip(scores, deltas)):
         H, W = s.shape[1], s.shape[2]
         anchors = jnp.asarray(grid_anchors((H, W), strides[l], scales, ratios))
@@ -147,22 +147,39 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
         boxes = delta2bbox(top_anchor, top_d, max_shape=image_shape)
         lvl_boxes.append(boxes)
         lvl_scores.append(top_s)
-        lvl_ids.append(jnp.full((boxes.shape[1],), l, jnp.float32))
-    all_boxes = jnp.concatenate(lvl_boxes, axis=1)
-    all_scores = jax.nn.sigmoid(jnp.concatenate(lvl_scores, axis=1))
-    wh = all_boxes[..., 2:4] - all_boxes[..., 0:2]
-    valid = jnp.all(wh > min_bbox_size, axis=-1)
     # mmdet RPNHead._get_bboxes_single suppresses via batched_nms with
-    # LEVEL ids: proposals only suppress within their own FPN level.
-    # Realized as the same per-id box offset trick batched_nms uses.
-    offs = (jnp.concatenate(lvl_ids) *
-            float(2 * (image_shape[0] + image_shape[1])))[None, :, None]
+    # LEVEL ids: proposals only suppress within their own FPN level, so
+    # the greedy NMS runs per (view, level) here - 5x shallower
+    # sequential block scan and 5x less IoU work than one concatenated
+    # pass - and the kept sets merge by global score, which is exactly
+    # what batched_nms + dets[:max_per_img] computes.
+    n_max = max(x.shape[1] for x in lvl_boxes)
 
-    def per_view(b, s, v):
-        _, os_, oi, ov = nms_padded(b, s, v, iou_threshold, max_per_img)
-        return oi, os_, ov
+    def pad_lvl(x):
+        p = n_max - x.shape[1]
+        if p == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, p)) + ((0, 0),) * (x.ndim - 2))
 
-    oi, out_scores, out_valid = jax.vmap(per_view)(
-        all_boxes + offs, all_scores, valid)
-    out_boxes = jnp.take_along_axis(all_boxes, oi[..., None], axis=1)
-    return out_boxes, out_scores, out_valid
+    b = jnp.stack([pad_lvl(x) for x in lvl_boxes], axis=1)   # [V, L, n, 4]
+    s = jax.nn.sigmoid(jnp.stack([pad_lvl(x) for x in lvl_scores], axis=1))
+    wh = b[..., 2:4] - b[..., 0:2]
+    n_lvl = jnp.asarray([x.shape[1] for x in lvl_boxes])
+    valid = (jnp.all(wh > min_bbox_size, axis=-1) &
+             (jnp.arange(n_max)[None, None, :] < n_lvl[None, :, None]))
+    max_lvl = min(max_per_img, n_max)
+
+    def per_level(b_, s_, v_):
+        ob, os_, _, ov = nms_padded(b_, s_, v_, iou_threshold, max_lvl)
+        return ob, os_, ov
+
+    ob, os_, ov = jax.vmap(jax.vmap(per_level))(b, s, valid)
+    L = b.shape[1]
+    flat_b = ob.reshape(V, L * max_lvl, 4)
+    flat_s = os_.reshape(V, L * max_lvl)      # invalid slots already _NEG
+    flat_v = ov.reshape(V, L * max_lvl)
+    n_out = min(max_per_img, L * max_lvl)
+    top_s, top_i = jax.lax.top_k(flat_s, n_out)   # exact: proposal parity
+    out_boxes = jnp.take_along_axis(flat_b, top_i[..., None], axis=1)
+    out_valid = jnp.take_along_axis(flat_v, top_i, axis=1)
+    return out_boxes, top_s, out_valid
