@@ -113,6 +113,25 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return (b[sel], jnp.where(out_valid, s[sel], _NEG), order[sel], out_valid)
 
 
+def nms_sorted_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    valid: jnp.ndarray, iou_threshold: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS WITHOUT output compaction: returns the score-sorted
+    boxes and their post-suppression scores (suppressed/invalid = _NEG).
+
+    For callers that merge several NMS runs (e.g. per-FPN-level RPN
+    suppression) a single top-k over the merged masked scores replaces
+    each run's compaction argsort."""
+    masked = jnp.where(valid, scores, _NEG)
+    order = jnp.argsort(-masked)
+    b = boxes[order]
+    s = masked[order]
+    v = valid[order]
+    keep = _greedy_suppress_boxes(b, v, iou_threshold,
+                                  box_utils.box_iou_xyxy)
+    return b, jnp.where(keep, s, _NEG)
+
+
 def multiclass_nms_2d(boxes: jnp.ndarray, scores: jnp.ndarray,
                       valid: jnp.ndarray, score_thr: float,
                       iou_threshold: float, nms_pre: int, max_out: int,

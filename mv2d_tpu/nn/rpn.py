@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..core.nms import nms_padded
+from ..core.nms import _NEG, nms_sorted_keep
 from ..core.topk import fast_topk
 
 
@@ -167,19 +167,17 @@ def rpn_proposals(scores: List[jnp.ndarray], deltas: List[jnp.ndarray],
     n_lvl = jnp.asarray([x.shape[1] for x in lvl_boxes])
     valid = (jnp.all(wh > min_bbox_size, axis=-1) &
              (jnp.arange(n_max)[None, None, :] < n_lvl[None, :, None]))
-    max_lvl = min(max_per_img, n_max)
-
     def per_level(b_, s_, v_):
-        ob, os_, _, ov = nms_padded(b_, s_, v_, iou_threshold, max_lvl)
-        return ob, os_, ov
+        return nms_sorted_keep(b_, s_, v_, iou_threshold)
 
-    ob, os_, ov = jax.vmap(jax.vmap(per_level))(b, s, valid)
+    ob, os_ = jax.vmap(jax.vmap(per_level))(b, s, valid)
+    # merge levels with ONE top-k over the masked scores (suppressed =
+    # _NEG) - replaces each level's compaction argsort; batched_nms +
+    # dets[:max_per_img] sorts the kept set globally by score too
     L = b.shape[1]
-    flat_b = ob.reshape(V, L * max_lvl, 4)
-    flat_s = os_.reshape(V, L * max_lvl)      # invalid slots already _NEG
-    flat_v = ov.reshape(V, L * max_lvl)
-    n_out = min(max_per_img, L * max_lvl)
+    flat_b = ob.reshape(V, L * n_max, 4)
+    flat_s = os_.reshape(V, L * n_max)
+    n_out = min(max_per_img, L * n_max)
     top_s, top_i = jax.lax.top_k(flat_s, n_out)   # exact: proposal parity
     out_boxes = jnp.take_along_axis(flat_b, top_i[..., None], axis=1)
-    out_valid = jnp.take_along_axis(flat_v, top_i, axis=1)
-    return out_boxes, top_s, out_valid
+    return out_boxes, top_s, top_s > _NEG / 2
