@@ -62,14 +62,15 @@ class MHA(nn.Module):
             # dropout below is outside the kernel)
             from ..ops.pallas_attention import masked_flash_attention
             # bf16 panels keep the kernel inside the 16 MB VMEM budget
-            # sparse=deterministic: the block-sparse grid wins at eval,
-            # the dense one-shot bwd wins in training (see
-            # masked_flash_attention)
+            # eval: block-sparse fwd; training: 'mixed' = sparse fwd +
+            # dense one-shot bwd (the sparse bwd loses at DN-padded
+            # query counts - see masked_flash_attention)
             out = masked_flash_attention(
                 qp[0].astype(jnp.bfloat16), kp[0].astype(jnp.bfloat16),
                 vp[0].astype(jnp.bfloat16), allowed[0],
                 self.num_heads,
-                sparse=deterministic)[None].astype(qp.dtype)
+                sparse=(True if deterministic else 'mixed')
+                )[None].astype(qp.dtype)
         else:
             out = multi_head_attention(qp, kp, vp, self.num_heads, allowed)
         out = nn.Dense(self.embed_dims, name='out_proj')(out)

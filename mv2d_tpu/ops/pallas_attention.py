@@ -220,7 +220,8 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import os
     env = os.environ.get('MV2D_FLASH_SPARSE', '')
     if env:
-        use_sparse = env == '1'      # explicit A/B override wins
+        # explicit A/B override wins: 1 sparse, 0 dense, mixed hybrid
+        use_sparse = {'1': True, '0': False, 'mixed': 'mixed'}[env]
     else:
         use_sparse = True if sparse is None else sparse
     if use_sparse:
@@ -243,6 +244,10 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             raise ValueError(
                 f'sparse flash block_k must be a multiple of 128, got {bk} '
                 f'(from {"MV2D_FLASH_BK" if env_bk else "block_k"})')
+        if use_sparse == 'mixed':
+            # hybrid for training: sparse forward, dense one-shot backward
+            return _flash_mixed(q, k, v, allowed, num_heads, block_q,
+                                bk, interpret)
         return _flash_sparse(q, k, v, allowed, num_heads, block_q,
                              bk, interpret)
     return _flash(q, k, v, allowed, num_heads, block_q, interpret)
@@ -505,3 +510,32 @@ def _flash_sparse_bwd(num_heads, block_q, block_k, interpret, res, g):
 
 
 _flash_sparse.defvjp(_flash_sparse_fwd, _flash_sparse_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_mixed(q, k, v, allowed, num_heads, block_q, block_k, interpret):
+    """Block-sparse FORWARD + dense one-shot BACKWARD.
+
+    Both kernels compute exact masked attention, so pairing them is
+    valid; the sparse grid wins the forward at every measured shape
+    while the sparse backward's block-list loop + block-major
+    accumulators lose to the dense [BQ, K] backward at DN-padded
+    training query counts (see masked_flash_attention)."""
+    qh, kh, vh, msk, dims = _pack(q, k, v, allowed, num_heads, block_q,
+                                  k_align=block_k)
+    Q, K, H, D, BQ, Qp, Kp = dims
+    out, _, _ = _sparse_fwd_call(qh, kh, vh, msk, dims, block_k, interpret)
+    return out.transpose(1, 0, 2).reshape(Qp, H * D)[:Q]
+
+
+def _flash_mixed_fwd(q, k, v, allowed, num_heads, block_q, block_k,
+                     interpret):
+    return (_flash_mixed(q, k, v, allowed, num_heads, block_q, block_k,
+                         interpret), (q, k, v, allowed))
+
+
+def _flash_mixed_bwd(num_heads, block_q, block_k, interpret, res, g):
+    return _flash_bwd(num_heads, block_q, interpret, res, g)
+
+
+_flash_mixed.defvjp(_flash_mixed_fwd, _flash_mixed_bwd)

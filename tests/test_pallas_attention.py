@@ -93,3 +93,39 @@ def test_flash_sparse_vjp(rng):
     for a, b, nm in zip(g_sp, g_ref, 'qkv'):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3, err_msg=nm)
+
+
+def test_flash_mixed_fwd_and_vjp(rng):
+    """'mixed' = sparse forward + dense backward: values AND grads must
+    both match the XLA attention (the two kernels compute the same exact
+    masked attention, so pairing them is valid)."""
+    from mv2d_tpu.ops.pallas_attention import _flash_mixed
+    Q, K, C, H = 50, 300, 32, 2
+    q = jnp.asarray(rng.normal(size=(Q, C)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(K, C)), dtype=jnp.float32)
+    allowed = rng.uniform(size=(Q, K)) > 0.6
+    allowed[0, :] = False          # fully-masked row
+    allowed[1, :] = True
+    allowed = jnp.asarray(allowed)
+    w = jnp.asarray(rng.normal(size=(Q, C)), dtype=jnp.float32)
+
+    ref = xla_attn.multi_head_attention(q[None], k[None], v[None], H,
+                                        allowed[None])[0]
+    out = _flash_mixed(q, k, v, allowed, H, 16, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+    def loss_ref(q, k, v):
+        out = xla_attn.multi_head_attention(q[None], k[None], v[None], H,
+                                            allowed[None])[0]
+        return (out * w).sum()
+
+    def loss_mixed(q, k, v):
+        return (_flash_mixed(q, k, v, allowed, H, 16, 128, True) * w).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_mx = jax.grad(loss_mixed, argnums=(0, 1, 2))(q, k, v)
+    for a, b, nm in zip(g_mx, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3, err_msg=nm)
