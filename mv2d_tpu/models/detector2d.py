@@ -141,6 +141,9 @@ class TwoStageDetector(nn.Module):
                     differentiable: bool = False):
         """rois: [N, 4] image-pixel boxes; view_idx: [N].
 
+        sampling_ratio=0 = mmcv adaptive ceil(bin) per RoI per axis, the
+        reference extractor setting (maskrcnn_r50.py:40).
+
         differentiable=True (training) uses the XLA gather align (the Pallas
         patch-DMA kernel has no VJP yet); inference uses the kernel on TPU.
         """
@@ -149,7 +152,7 @@ class TwoStageDetector(nn.Module):
             from ..ops.pallas_roi_align import pallas_multilevel_roi_align
             roi_feats = pallas_multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2)
+                output_size=7, sampling_ratio=0)
         else:
             # chunk > R kills the lax.map while-loop: its AD-time copies /
             # pads / dynamic-update-slices cost more than the one-chunk
@@ -157,7 +160,7 @@ class TwoStageDetector(nn.Module):
             # cells are not live into the backward)
             roi_feats = multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2, chunk=16384)
+                output_size=7, sampling_ratio=0, chunk=16384)
         return self.bbox_head(roi_feats)
 
     def roi_forward_views(self, feats: Sequence[jnp.ndarray],
@@ -175,7 +178,7 @@ class TwoStageDetector(nn.Module):
             from ..ops.pallas_roi_align import pallas_roi_align_views_train
             roi_feats, pos = pallas_roi_align_views_train(
                 [f[:V] for f in feats[:4]], rois_vp, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2)
+                output_size=7, sampling_ratio=0)
             Pp = roi_feats.shape[1]
             cls_logits, deltas = self.bbox_head(
                 roi_feats.reshape(V * Pp, *roi_feats.shape[2:]))
@@ -211,7 +214,7 @@ class TwoStageDetector(nn.Module):
             # gather moves ~150 MB)
             roi_feats, pos = pallas_roi_align_views(
                 list(feats[:4]), prop_boxes, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=2, compacted=True)
+                output_size=7, sampling_ratio=0, compacted=True)
             Pp = roi_feats.shape[1]
             cls_logits, deltas = self.bbox_head(
                 roi_feats.reshape(V * Pp, *roi_feats.shape[2:]))

@@ -302,8 +302,13 @@ class MV2D(nn.Module):
         # AD-kept [V, P, O, H, C] transient is ~200 MB at recipe shapes.
         cat = jnp.concatenate([p4, pos], axis=-1)
         from ..ops.roi_align import separable_roi_align_views
+        # sampling_ratio=-1 = mmcv adaptive ceil(bin) samples per axis (ref
+        # bbox_roi_extractor at ..._ep24.py:51); adaptive_max=16 makes it
+        # EXACT for every in-image RoI at stride 16 (max bin = 1408/16/7 =
+        # 12.6 -> ceil 13)
         roi_feats = separable_roi_align_views(
-            cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=2)
+            cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=-1,
+            adaptive_max=16)
         roi_feats = roi_feats.reshape(R, c.roi_size, c.roi_size,
                                       cat.shape[-1])
         bbox_feats, roi_pe = jnp.split(roi_feats, 2, axis=-1)

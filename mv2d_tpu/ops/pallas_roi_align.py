@@ -33,6 +33,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# adaptive (sampling_ratio <= 0) in-kernel sample bound: pass routing caps
+# per-axis bins at (PASS_SIZES[-1] - 3) / 7 = 8.71 cells, so ceil <= 9 and
+# the masked static loop is EXACT for every pass-routed roi (overflow rois
+# take the XLA lattice path with its own bound)
+ADAPTIVE_SMAX = 9
+
+
+def _hat_axes(y1, x1, bh, bw, H, W, oy, ox, qio, cell_y, cell_x, S, act=1.0):
+    """Shared hat-profile accumulation for the slab/patch kernels.
+
+    Returns (by, bx): per-axis averaged bilinear hat weights with the
+    sample-mean divisor AND `act` (y axis only) folded in, so
+    out = by @ patch @ bx^T is the final RoIAlign value.  S > 0 = static
+    sample count; S <= 0 = mmcv adaptive per-RoI S = ceil(bin), realized
+    as ADAPTIVE_SMAX masked slots (weights fold the true per-RoI divisor,
+    never a trailing broadcast - Mosaic rejects sublane+lane broadcasts
+    of [n, 1, 1] scalars onto [n, O, cells])."""
+    f32 = jnp.float32
+    if S > 0:
+        nmax = S
+        wy = act * (1.0 / S)
+        wx = 1.0 / S
+        syf = sxf = None
+    else:
+        nmax = ADAPTIVE_SMAX
+        syf = jnp.clip(jnp.ceil(bh), 0.0, float(nmax))
+        sxf = jnp.clip(jnp.ceil(bw), 0.0, float(nmax))
+        syc = jnp.maximum(syf, 1.0)
+        sxc = jnp.maximum(sxf, 1.0)
+        wy = act / syc
+        wx = 1.0 / sxc
+    by = None
+    bx = None
+    for s in range(nmax):
+        if S > 0:
+            fy = fx = (s + 0.5) / S
+        else:
+            fy = (s + 0.5) / syc
+            fx = (s + 0.5) / sxc
+        ys = y1 + (qio + fy) * bh
+        xs = x1 + (qio + fx) * bw
+        in_y = (ys > -1.0) & (ys < H)
+        in_x = (xs > -1.0) & (xs < W)
+        if S <= 0:
+            in_y = in_y & (syf > s)
+            in_x = in_x & (sxf > s)
+        my = in_y.astype(f32) * wy
+        mx = in_x.astype(f32) * wx
+        ys = jnp.clip(ys, 0.0, H - 1) - oy
+        xs = jnp.clip(xs, 0.0, W - 1) - ox
+        ty = jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * my
+        tx = jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * mx
+        by = ty if by is None else by + ty
+        bx = tx if bx is None else bx + tx
+    return by, bx
+
+
 def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
                             Hs: Sequence[int], Ws: Sequence[int],
                             strides: Sequence[int], rois: jnp.ndarray,
@@ -44,24 +101,35 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
     materializing a second flattened copy of every FPN level (~2 ms at
     full size) just for <=256 RoIs.  NOTE: 4 single-row gathers - a
     slice_sizes=(2, C) x-pair gather lowers to a per-row while loop on
-    TPU (~240 ms), not a wide-descriptor gather."""
+    TPU (~240 ms), not a wide-descriptor gather.
+
+    S <= 0 = adaptive sampling with `adaptive_max` masked lattice slots per
+    axis.  Overflow rois are extreme-aspect (long side > 61 cells at the
+    routed level, so aspect > ~4.7): the level-routing algebra bounds their
+    SHORT side below 13 cells, so ceil(bin) <= 2 there is exact; the LONG
+    side's ceil(bin) >= 9 clamps at ADAPTIVE_SMAX - the same clamp as the
+    XLA multilevel path's default, so train (XLA) and eval (Pallas) agree
+    bit-for-bit; the clamped evenly-spaced sample average is within ~1e-3
+    of the converged integral (the one residual deviation, docs/PARITY.md)."""
     V, Hslab, Wmax, C = stacked.shape
     tbl = stacked.reshape(V * Hslab * Wmax, C)
     K = rois.shape[0]
+    from .roi_align import _axis_grid
+    adaptive_max = ADAPTIVE_SMAX
+    Se = S if S > 0 else adaptive_max
     sc = jnp.asarray([1.0 / s for s in strides], rois.dtype)[lvl][:, None]
     H = jnp.asarray(Hs)[lvl][:, None]
     W = jnp.asarray(Ws)[lvl][:, None]
     base = (view * Hslab + jnp.asarray(row_offs)[lvl]) * Wmax    # [K]
-    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None] + 0.5) / S)
-    grid = grid.reshape(-1)                                      # [O*S]
-    x1 = rois[:, 0:1] * sc - 0.5
-    y1 = rois[:, 1:2] * sc - 0.5
-    bw = (rois[:, 2:3] - rois[:, 0:1]) * sc / O
-    bh = (rois[:, 3:4] - rois[:, 1:2]) * sc / O
-    xs = x1 + grid[None] * bw                                    # [K, O*S]
-    ys = y1 + grid[None] * bh
-    X = jnp.broadcast_to(xs[:, None, :], (K, O * S, O * S)).reshape(K, -1)
-    Y = jnp.broadcast_to(ys[:, :, None], (K, O * S, O * S)).reshape(K, -1)
+    x1 = rois[:, 0] * sc[:, 0] - 0.5
+    y1 = rois[:, 1] * sc[:, 0] - 0.5
+    rw = (rois[:, 2] - rois[:, 0]) * sc[:, 0]
+    rh = (rois[:, 3] - rois[:, 1]) * sc[:, 0]
+    xs, wx, divx = _axis_grid(x1, rw, O, S, adaptive_max)
+    ys, wy, divy = _axis_grid(y1, rh, O, S, adaptive_max)
+    X = jnp.broadcast_to(xs[:, None, :], (K, O * Se, O * Se)).reshape(K, -1)
+    Y = jnp.broadcast_to(ys[:, :, None], (K, O * Se, O * Se)).reshape(K, -1)
+    W_s = (wy[:, :, None] * wx[:, None, :]).reshape(K, -1)
     Wf = W.astype(X.dtype)
     Hf = H.astype(X.dtype)
     inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
@@ -83,7 +151,8 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
     bot = (1 - lx) * g(y1i, x0i) + lx * g(y1i, x1i)
     out = (1 - ly) * top + ly * bot
     out = jnp.where(inside[..., None], out, 0.0)
-    return out.reshape(K, O, S, O, S, C).mean(axis=(2, 4))
+    out = (out * W_s[..., None]).reshape(K, O, Se, O, Se, C)
+    return out.sum(axis=(2, 4)) / (divy * divx)[:, None, None, None]
 
 
 def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
@@ -146,10 +215,16 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
 
     @pl.when(tot > 0)
     def _():
-        n_samp = O * S
+        Se = S if S > 0 else ADAPTIVE_SMAX
+        n_samp = O * Se
         # sample centers in bin units: (q+0.5)/S == bin(q//S)+(q%S+0.5)/S
-        samp = (jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
-                .astype(jnp.float32) + 0.5) / S           # [n_samp, 1]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
+        samp = (qi.astype(jnp.float32) + 0.5) / Se        # [n_samp, 1]
+        # adaptive (S <= 0): per-roi per-axis sample count ceil(bin) needs
+        # the (bin index, sample index) split so positions can use the true
+        # per-roi count while slots s >= count carry zero weight
+        oi_f = (qi // Se).astype(jnp.float32)
+        si_f = (qi - (qi // Se) * Se).astype(jnp.float32)
         cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
                                           1).astype(jnp.float32)
         cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
@@ -168,14 +243,29 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
             W = wf_ref[base + j]
             oy = py_ref[base + j].astype(jnp.float32)
             ox = px_ref[base + j].astype(jnp.float32)
-            ys = y1 + samp * bh                           # [n_samp, 1]
-            xs = x1 + samp * bw
+            if S > 0:
+                ys = y1 + samp * bh                       # [n_samp, 1]
+                xs = x1 + samp * bw
+                wyj = wxj = 1.0
+            else:
+                syf = jnp.clip(jnp.ceil(bh), 0.0, float(Se))
+                sxf = jnp.clip(jnp.ceil(bw), 0.0, float(Se))
+                syc = jnp.maximum(syf, 1.0)
+                sxc = jnp.maximum(sxf, 1.0)
+                ys = y1 + (oi_f + (si_f + 0.5) / syc) * bh
+                xs = x1 + (oi_f + (si_f + 0.5) / sxc) * bw
+                # fold the true divisor AND the slot mask into the weights
+                # (the final reduction divides by Se*Se for both branches)
+                wyj = (si_f < syf).astype(jnp.float32) * (Se / syc)
+                wxj = (si_f < sxf).astype(jnp.float32) * (Se / sxc)
             in_y = (ys > -1.0) & (ys < H)
             in_x = (xs > -1.0) & (xs < W)
             ys = jnp.clip(ys, 0.0, H - 1) - oy
             xs = jnp.clip(xs, 0.0, W - 1) - ox
-            ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0) * in_y)
-            axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0) * in_x)
+            ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0)
+                       * in_y * wyj)
+            axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0)
+                       * in_x * wxj)
         ay = jnp.stack(ays)                               # [nr, n_samp, ph]
         ax = jnp.stack(axs)                               # [nr, n_samp, pw]
 
@@ -207,7 +297,7 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [nr, q, p*C]
         full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
-        full = full.reshape(nr, O, S, O, S, C)
+        full = full.reshape(nr, O, Se, O, Se, C)
         out = full.mean(axis=(2, 4))                      # [nr, O, O, C]
         # inactive slots already yield exact zeros: their patch was zeroed
         # above and the hat weights are finite, so no explicit mask needed
@@ -445,32 +535,16 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                                               1).astype(jnp.float32)
             bys, bxs, pats = [], [], []
             for j in range(nr):
-                act = (active_ref[base + j] > 0).astype(jnp.float32)
-                y1 = y1_ref[base + j]
-                x1 = x1_ref[base + j]
-                bh = bh_ref[base + j]
-                bw = bw_ref[base + j]
-                H = hf_ref[base + j]
-                W = wf_ref[base + j]
-                oy = py_ref[base + j].astype(jnp.float32)
-                ox = px_ref[base + j].astype(jnp.float32)
-                by = jnp.zeros((O, ph), jnp.float32)
-                bx = jnp.zeros((O, pw), jnp.float32)
-                for s in range(S):
-                    frac = (s + 0.5) / S
-                    ys = y1 + (qio + frac) * bh           # [O, 1]
-                    xs = x1 + (qio + frac) * bw
-                    in_y = (ys > -1.0) & (ys < H)
-                    in_x = (xs > -1.0) & (xs < W)
-                    ys = jnp.clip(ys, 0.0, H - 1) - oy
-                    xs = jnp.clip(xs, 0.0, W - 1) - ox
-                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
-                                          0.0) * in_y
-                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
-                                          0.0) * in_x
                 # act zeroes inactive slots (their slab reads are junk)
-                bys.append(by * (act / S))
-                bxs.append(bx * (1.0 / S))
+                act = (active_ref[base + j] > 0).astype(jnp.float32)
+                by, bx = _hat_axes(
+                    y1_ref[base + j], x1_ref[base + j], bh_ref[base + j],
+                    bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
+                    py_ref[base + j].astype(jnp.float32),
+                    px_ref[base + j].astype(jnp.float32),
+                    qio, cell_y, cell_x, S, act=act)
+                bys.append(by)
+                bxs.append(bx)
                 pats.append(slab[pl.ds(row_ref[base + j], ph),
                                  pl.ds(pl.multiple_of(px_ref[base + j], 8),
                                        pw), :])
@@ -546,28 +620,12 @@ def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 def col(k):
                     return svb[:, k][:, None, None]
                 act = (col(2) > 0).astype(jnp.float32)
-                y1, x1 = col(3), col(4)
-                bh, bw = col(5), col(6)
-                H, W = col(7), col(8)
-                oy, ox = col(9), col(1)
-                by = jnp.zeros((nrc, O, ph), jnp.float32)
-                bx = jnp.zeros((nrc, O, pw), jnp.float32)
-                for s in range(S):
-                    frac = (s + 0.5) / S
-                    ys = y1 + (qio + frac) * bh           # [nrc, O, 1]
-                    xs = x1 + (qio + frac) * bw
-                    # act folded into the [nrc, O, 1] sample mask: Mosaic
-                    # rejects a (1,1)->(O,ph) sublane+lane broadcast
-                    in_y = ((ys > -1.0) & (ys < H)).astype(jnp.float32) * act
-                    in_x = ((xs > -1.0) & (xs < W)).astype(jnp.float32)
-                    ys = jnp.clip(ys, 0.0, H - 1) - oy
-                    xs = jnp.clip(xs, 0.0, W - 1) - ox
-                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
-                                          0.0) * in_y
-                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
-                                          0.0) * in_x
-                By = by * (1.0 / S)
-                Bx = bx * (1.0 / S)
+                # act and divisors fold into the [nrc, O, 1] per-sample
+                # masks inside _hat_axes: Mosaic rejects a (1,1)->(O,ph)
+                # sublane+lane broadcast
+                By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
+                                   col(7), col(8), col(9), col(1),
+                                   qio, cell_y, cell_x, S, act=act)
                 pats = [slab[pl.ds(row_ref[cbase + j], ph),
                              pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
                                    pw), :] for j in range(nrc)]
@@ -912,30 +970,14 @@ def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
             bys, bxs = [], []
             for j in range(nr):
                 act = (active_ref[base + j] > 0).astype(jnp.float32)
-                y1 = y1_ref[base + j]
-                x1 = x1_ref[base + j]
-                bh = bh_ref[base + j]
-                bw = bw_ref[base + j]
-                H = hf_ref[base + j]
-                W = wf_ref[base + j]
-                oy = py_ref[base + j].astype(jnp.float32)
-                ox = px_ref[base + j].astype(jnp.float32)
-                by = jnp.zeros((O, ph), jnp.float32)
-                bx = jnp.zeros((O, pw), jnp.float32)
-                for s in range(S):
-                    frac = (s + 0.5) / S
-                    ys = y1 + (qio + frac) * bh
-                    xs = x1 + (qio + frac) * bw
-                    in_y = (ys > -1.0) & (ys < H)
-                    in_x = (xs > -1.0) & (xs < W)
-                    ys = jnp.clip(ys, 0.0, H - 1) - oy
-                    xs = jnp.clip(xs, 0.0, W - 1) - ox
-                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
-                                          0.0) * in_y
-                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
-                                          0.0) * in_x
-                bys.append(by * (act / S))
-                bxs.append(bx * (1.0 / S))
+                by, bx = _hat_axes(
+                    y1_ref[base + j], x1_ref[base + j], bh_ref[base + j],
+                    bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
+                    py_ref[base + j].astype(jnp.float32),
+                    px_ref[base + j].astype(jnp.float32),
+                    qio, cell_y, cell_x, S, act=act)
+                bys.append(by)
+                bxs.append(bx)
             By = jnp.stack(bys)                       # [nr, O, ph]
             Bx = jnp.stack(bxs)                       # [nr, O, pw]
 
@@ -999,28 +1041,11 @@ def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 def col(k):
                     return svb[:, k][:, None, None]
                 act = (col(2) > 0).astype(jnp.float32)
-                y1, x1 = col(3), col(4)
-                bh, bw = col(5), col(6)
-                H, W = col(7), col(8)
-                oy, ox = col(9), col(1)
-                by = jnp.zeros((nrc, O, ph), jnp.float32)
-                bx = jnp.zeros((nrc, O, pw), jnp.float32)
-                for s in range(S):
-                    frac = (s + 0.5) / S
-                    ys = y1 + (qio + frac) * bh
-                    xs = x1 + (qio + frac) * bw
-                    # act folded into the [nrc, O, 1] sample mask (Mosaic
-                    # broadcast constraint, see _kernel_slab_v2)
-                    in_y = ((ys > -1.0) & (ys < H)).astype(jnp.float32) * act
-                    in_x = ((xs > -1.0) & (xs < W)).astype(jnp.float32)
-                    ys = jnp.clip(ys, 0.0, H - 1) - oy
-                    xs = jnp.clip(xs, 0.0, W - 1) - ox
-                    by = by + jnp.maximum(1.0 - jnp.abs(ys - cell_y),
-                                          0.0) * in_y
-                    bx = bx + jnp.maximum(1.0 - jnp.abs(xs - cell_x),
-                                          0.0) * in_x
-                By = by * (1.0 / S)
-                Bx = bx * (1.0 / S)
+                # act + divisors fold into the per-sample masks (Mosaic
+                # broadcast constraint, see _kernel_slab_v2)
+                By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
+                                   col(7), col(8), col(9), col(1),
+                                   qio, cell_y, cell_x, S, act=act)
 
                 dout = dout_ref[0, pl.ds(chunk * nrc, nrc)].astype(
                     jnp.float32)                      # [nrc, O, O, Cb]
@@ -1171,7 +1196,8 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         vi = (sel // P).astype(jnp.int32)
         o = multilevel_roi_align(list(feats), rois.reshape(-1, 4)[sel], vi,
                                  strides, output_size, sampling_ratio,
-                                 finest_scale, block_layout=False)
+                                 finest_scale, block_layout=False,
+                                 adaptive_max=ADAPTIVE_SMAX)
         o = o * over[sel][:, None, None, None]
         slot = vi * Pp + g['pos'].reshape(-1)[sel]
         out_s = out_s.reshape(V * Pp, O, O, C).at[slot].add(

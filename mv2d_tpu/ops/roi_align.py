@@ -9,10 +9,14 @@ Semantics follow mmcv RoIAlign(aligned=True): the continuous coordinate of
 output bin (i, j) sample (si, sj) is
     x = x1 + (j + (sj + 0.5) / S) * bin_w - 0.5 * aligned
 with bilinear interpolation and zero padding outside the map, averaged over
-S*S samples per bin.  The reference configures sampling_ratio in {-1, 0}
-(adaptive = ceil(bin size)); adaptive sample counts are data-dependent and
-would break static shapes, so we use a fixed S (default 2, detectron2's
-standard) - a documented, accuracy-neutral deviation.
+S*S samples per bin.  The reference configures sampling_ratio in {-1, 0},
+i.e. mmcv's ADAPTIVE rule: per-RoI, per-axis S = ceil(bin size) (zero
+samples -> zero output).  sampling_ratio <= 0 here reproduces that exactly
+via a masked static sample lattice of `adaptive_max` slots per axis: sample
+positions use the true per-RoI S (traced), slots s >= S carry zero weight,
+and the divisor is the true S - bit-equal to the dynamic loop whenever
+ceil(bin) <= adaptive_max (callers size adaptive_max so the clamp never
+binds on in-image RoIs; see each call site).
 
 Formulated as one batched gather + weighted sum -> XLA lowers it to efficient
 dynamic-gathers; channels stay in the last (lane) dimension.
@@ -109,11 +113,46 @@ def _bilinear_gather_blocks(feat: jnp.ndarray, view_idx: jnp.ndarray,
     return jnp.where(inside[..., None], out, 0.0)
 
 
+def _axis_grid(lo: jnp.ndarray, extent: jnp.ndarray, output_size: int,
+               sampling_ratio: int, adaptive_max: int):
+    """Per-axis RoIAlign sample coordinates and weights.
+
+    lo/extent: [...] roi origin / extent in cells.  Returns
+    (coords [..., O*S], weight [..., O*S], div [...]) where S is
+    `sampling_ratio` if > 0 else `adaptive_max` masked slots realizing
+    mmcv's adaptive per-RoI S = ceil(extent / O) (weight 0 for s >= S,
+    div = max(S, 1); S = 0 zeroes the whole axis like mmcv's empty loop).
+    """
+    O = output_size
+    dt = extent.dtype
+    bin_ = extent / O
+    oi = jnp.arange(O, dtype=dt)
+    if sampling_ratio > 0:
+        S = sampling_ratio
+        frac = (jnp.arange(S, dtype=dt) + 0.5) / S
+        xs = lo[..., None, None] + (oi[:, None] + frac) * bin_[..., None, None]
+        wt = jnp.ones(xs.shape, dt)
+        div = jnp.full(extent.shape, float(S), dt)
+    else:
+        S = adaptive_max
+        sf = jnp.clip(jnp.ceil(bin_), 0.0, float(S))          # true ceil
+        div = jnp.maximum(sf, 1.0)
+        s = jnp.arange(S, dtype=dt)
+        frac = (s + 0.5) / div[..., None]                     # [..., S]
+        xs = lo[..., None, None] + \
+            (oi[:, None] + frac[..., None, :]) * bin_[..., None, None]
+        wt = jnp.broadcast_to((s < sf[..., None])[..., None, :].astype(dt),
+                              xs.shape)
+    return (xs.reshape(*extent.shape, O * S),
+            wt.reshape(*extent.shape, O * S), div)
+
+
 def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
               spatial_scale: float, output_size: int = 7,
               sampling_ratio: int = 2, aligned: bool = True,
               block_layout: bool = True,
-              chunk: int | None = None) -> jnp.ndarray:
+              chunk: int | None = None,
+              adaptive_max: int = 9) -> jnp.ndarray:
     """RoIAlign.
 
     feat: [V, H, W, C] (channels-last); rois: [R, 4] (x1,y1,x2,y2) in IMAGE
@@ -132,11 +171,11 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
         out = jax.lax.map(
             lambda args: roi_align(feat, args[0], args[1], spatial_scale,
                                    output_size, sampling_ratio, aligned,
-                                   block_layout),
+                                   block_layout, adaptive_max=adaptive_max),
             (rois_p.reshape(nb, chunk, 4), view_p.reshape(nb, chunk)))
         O = output_size
         return out.reshape(nb * chunk, O, O, feat.shape[-1])[:R]
-    S = max(sampling_ratio, 1)
+    S = sampling_ratio if sampling_ratio > 0 else adaptive_max
     O = output_size
     offset = 0.5 if aligned else 0.0
     x1 = rois[:, 0] * spatial_scale - offset
@@ -148,26 +187,23 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, view_idx: jnp.ndarray,
     if not aligned:
         roi_w = jnp.maximum(roi_w, 1.0)
         roi_h = jnp.maximum(roi_h, 1.0)
-    bin_w = roi_w / O
-    bin_h = roi_h / O
 
-    # sample grid: out bin index o in [0,O), sample s in [0,S)
-    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
-    grid = grid.reshape(-1)                                  # [O*S]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]        # [R, O*S]
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]
+    xs, wx, divx = _axis_grid(x1, roi_w, O, sampling_ratio, adaptive_max)
+    ys, wy, divy = _axis_grid(y1, roi_h, O, sampling_ratio, adaptive_max)
     # full sample lattice [R, O*S, O*S]
     X = jnp.broadcast_to(xs[:, None, :], (R, O * S, O * S)).reshape(R, -1)
     Y = jnp.broadcast_to(ys[:, :, None], (R, O * S, O * S)).reshape(R, -1)
+    W_s = (wy[:, :, None] * wx[:, None, :]).reshape(R, -1)
     gather = _bilinear_gather_blocks if block_layout else _bilinear_gather
     vals = gather(feat, view_idx.astype(jnp.int32), X, Y)
     C = feat.shape[-1]
-    vals = vals.reshape(R, O, S, O, S, C)
-    return vals.mean(axis=(2, 4))
+    vals = (vals * W_s[..., None]).reshape(R, O, S, O, S, C)
+    return vals.sum(axis=(2, 4)) / (divy * divx)[:, None, None, None]
 
 
 def _separable_weights(lo: jnp.ndarray, width: jnp.ndarray, n_cells: int,
-                       output_size: int, sampling_ratio: int) -> jnp.ndarray:
+                       output_size: int, sampling_ratio: int,
+                       adaptive_max: int = 16) -> jnp.ndarray:
     """Per-RoI row/col RoIAlign weights [..., O, n_cells].
 
     Row oi of the result holds the bin's averaged bilinear hat profile over
@@ -175,24 +211,27 @@ def _separable_weights(lo: jnp.ndarray, width: jnp.ndarray, n_cells: int,
     with x_s = lo + (oi + (s+.5)/S) * width / O.  Contracting feature rows
     and columns with these matrices reproduces roi_align EXACTLY (the
     bilinear weights, border clamping, outside-zero rule and the SxS sample
-    average all factor per axis).
+    average all factor per axis).  sampling_ratio <= 0 = mmcv adaptive
+    S = ceil(width / O) per RoI (exact while ceil <= adaptive_max; the
+    weight-matrix shape is S-independent, so adaptivity is free downstream).
     """
-    S = max(sampling_ratio, 1)
     O = output_size
-    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
-    xs = lo[..., None, None] + grid * (width / O)[..., None, None]
+    xs, wt, div = _axis_grid(lo, width, O, sampling_ratio, adaptive_max)
+    xs = xs.reshape(*lo.shape, O, -1)                      # [..., O, S]
+    wt = wt.reshape(*lo.shape, O, -1)
     inside = (xs > -1.0) & (xs < n_cells)                  # [..., O, S]
     xc = jnp.clip(xs, 0.0, n_cells - 1)
     cells = jnp.arange(n_cells, dtype=xc.dtype)
     hat = jnp.maximum(1.0 - jnp.abs(xc[..., None] - cells), 0.0)
-    hat = hat * inside[..., None]
-    return hat.sum(-2) / S                                 # [..., O, cells]
+    hat = hat * (inside * wt)[..., None]
+    return hat.sum(-2) / div[..., None, None]              # [..., O, cells]
 
 
 def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
                               spatial_scale: float, output_size: int = 7,
                               sampling_ratio: int = 2,
-                              aligned: bool = True) -> jnp.ndarray:
+                              aligned: bool = True,
+                              adaptive_max: int = 16) -> jnp.ndarray:
     """RoIAlign as two dense batched matmuls over the shared per-view tile.
 
     feat: [V, H, W, C]; boxes: [V, P, 4] image-pixel rois.  Returns
@@ -213,8 +252,10 @@ def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
     if not aligned:
         bw = jnp.maximum(bw, 1.0)
         bh = jnp.maximum(bh, 1.0)
-    Wx = _separable_weights(x1, bw, W, output_size, sampling_ratio)
-    Wy = _separable_weights(y1, bh, H, output_size, sampling_ratio)
+    Wx = _separable_weights(x1, bw, W, output_size, sampling_ratio,
+                            adaptive_max)
+    Wy = _separable_weights(y1, bh, H, output_size, sampling_ratio,
+                            adaptive_max)
     Wx = Wx.astype(feat.dtype)
     Wy = Wy.astype(feat.dtype)
     t = jnp.einsum('vpjx,vyxc->vpjyc', Wx, feat,
@@ -230,7 +271,8 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          sampling_ratio: int = 2,
                          finest_scale: float = 56.0,
                          chunk: int = 2048,
-                         block_layout: bool = True) -> jnp.ndarray:
+                         block_layout: bool = True,
+                         adaptive_max: int = 9) -> jnp.ndarray:
     """mmdet SingleRoIExtractor level routing: level = clamp(floor(log2(
     sqrt(area) / finest_scale + 1e-6)), 0, L-1), then RoIAlign on that level.
 
@@ -276,24 +318,24 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
         Wbs = jnp.asarray(Wbs)
 
     R = rois.shape[0]
-    O, S = output_size, max(sampling_ratio, 1)
-    grid = (jnp.arange(O)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
-    grid = grid.reshape(-1)                                     # [O*S]
+    O = output_size
+    S = sampling_ratio if sampling_ratio > 0 else adaptive_max
 
     def align_chunk(args):
         r_boxes, r_lvl, r_view = args                           # [Rc, ...]
-        sc = Ss[r_lvl][:, None]                                 # [Rc, 1]
+        sc = Ss[r_lvl]                                          # [Rc]
         H = Hs[r_lvl]
         W = Ws[r_lvl]
-        x1 = r_boxes[:, 0:1] * sc - 0.5
-        y1 = r_boxes[:, 1:2] * sc - 0.5
-        bw = (r_boxes[:, 2:3] - r_boxes[:, 0:1]) * sc / O
-        bh = (r_boxes[:, 3:4] - r_boxes[:, 1:2]) * sc / O
-        xs = x1 + grid[None] * bw                               # [Rc, O*S]
-        ys = y1 + grid[None] * bh
+        x1 = r_boxes[:, 0] * sc - 0.5
+        y1 = r_boxes[:, 1] * sc - 0.5
+        rw = (r_boxes[:, 2] - r_boxes[:, 0]) * sc
+        rh = (r_boxes[:, 3] - r_boxes[:, 1]) * sc
+        xs, wx, divx = _axis_grid(x1, rw, O, sampling_ratio, adaptive_max)
+        ys, wy, divy = _axis_grid(y1, rh, O, sampling_ratio, adaptive_max)
         Rc = r_boxes.shape[0]
         X = jnp.broadcast_to(xs[:, None, :], (Rc, O * S, O * S)).reshape(Rc, -1)
         Y = jnp.broadcast_to(ys[:, :, None], (Rc, O * S, O * S)).reshape(Rc, -1)
+        W_s = (wy[:, :, None] * wx[:, None, :]).reshape(Rc, -1)
         Wf = W[:, None].astype(X.dtype)
         Hf = H[:, None].astype(X.dtype)
         inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
@@ -327,7 +369,8 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
             out = w00 * g(y0i, x0i) + w01 * g(y0i, x1i) + \
                 w10 * g(y1i, x0i) + w11 * g(y1i, x1i)
         out = jnp.where(inside[..., None], out, 0.0)
-        return out.reshape(Rc, O, S, O, S, C).mean(axis=(2, 4))
+        out = (out * W_s[..., None]).reshape(Rc, O, S, O, S, C)
+        return out.sum(axis=(2, 4)) / (divy * divx)[:, None, None, None]
 
     if R <= chunk:
         return align_chunk((rois, lvl, view_idx.astype(jnp.int32)))

@@ -7,7 +7,11 @@ from mv2d_tpu.ops.dcn import ModulatedDeformConv
 
 
 def np_roi_align(feat, roi, scale, out=7, samp=2):
-    """Numpy oracle for aligned RoIAlign (single view, channels-last)."""
+    """Numpy oracle for aligned RoIAlign (single view, channels-last).
+
+    samp <= 0 = mmcv's adaptive rule (the reference configs use
+    sampling_ratio=-1 / 0): per-axis sample count = ceil(bin size),
+    count = max(gy * gx, 1) as in mmcv's CUDA kernel."""
     H, W, C = feat.shape
 
     def bil(y, x):
@@ -23,16 +27,22 @@ def np_roi_align(feat, roi, scale, out=7, samp=2):
 
     x1, y1, x2, y2 = [v * scale - 0.5 for v in roi]
     bw, bh = (x2 - x1) / out, (y2 - y1) / out
+    if samp > 0:
+        gy = gx = samp
+    else:
+        gy = int(np.ceil(np.float32(bh)))
+        gx = int(np.ceil(np.float32(bw)))
+    count = max(gy * gx, 1)
     res = np.zeros((out, out, C))
     for i in range(out):
         for j in range(out):
             acc = np.zeros(C)
-            for si in range(samp):
-                for sj in range(samp):
-                    yy = y1 + (i + (si + 0.5) / samp) * bh
-                    xx = x1 + (j + (sj + 0.5) / samp) * bw
+            for si in range(gy):
+                for sj in range(gx):
+                    yy = y1 + (i + (si + 0.5) / gy) * bh
+                    xx = x1 + (j + (sj + 0.5) / gx) * bw
                     acc += bil(yy, xx)
-            res[i, j] = acc / (samp * samp)
+            res[i, j] = acc / count
     return res
 
 
@@ -48,6 +58,54 @@ def test_roi_align_matches_oracle(rng):
     for r in range(3):
         want = np_roi_align(feat[views[r]], rois[r], 0.25)
         np.testing.assert_allclose(out[r], want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_adaptive_matches_oracle(rng):
+    """sampling_ratio=0 -> mmcv adaptive ceil(bin) per RoI per axis
+    (ref exp config sampling_ratio=-1 at ..._ep24.py:51, detector
+    extractor sampling_ratio=0 at maskrcnn_r50.py:40)."""
+    feat = rng.normal(size=(2, 16, 24, 4)).astype(np.float32)
+    # bins spanning <1, ~1.5, ~3.4 cells per axis (ceil = 1, 2, 4) plus a
+    # strongly anisotropic roi (gy != gx)
+    rois = np.asarray([[10., 5., 20., 12.], [0., 0., 44., 41.],
+                       [2., 8., 94., 62.], [4., 4., 90., 18.]], np.float32)
+    views = np.asarray([0, 1, 1, 0], np.int32)
+    out = np.asarray(roi_align.roi_align(
+        jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(views),
+        spatial_scale=0.25, output_size=7, sampling_ratio=0))
+    for r in range(len(rois)):
+        want = np_roi_align(feat[views[r]], rois[r], 0.25, samp=0)
+        np.testing.assert_allclose(out[r], want, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_roi_align_adaptive(rng):
+    """The 3D-head align path (separable two-matmul) with adaptive
+    sampling, incl. a full-map roi whose bins span many cells."""
+    feat = rng.normal(size=(2, 32, 88, 4)).astype(np.float32)
+    boxes = np.asarray([[[16., 16., 1400., 500.],      # bin ~12.4 x 4.3
+                         [100., 40., 300., 200.]],
+                        [[0., 0., 64., 48.],           # bin < 1
+                         [640., 128., 1280., 480.]]], np.float32)
+    out = np.asarray(roi_align.separable_roi_align_views(
+        jnp.asarray(feat), jnp.asarray(boxes), 1.0 / 16, 7,
+        sampling_ratio=-1))
+    for v in range(2):
+        for p in range(2):
+            want = np_roi_align(feat[v], boxes[v, p], 1.0 / 16, samp=0)
+            np.testing.assert_allclose(out[v, p], want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_adaptive_degenerate_roi_is_zero():
+    """mmcv: ceil(bin)=0 on an axis -> zero samples -> zero output."""
+    feat = jnp.ones((1, 16, 16, 2))
+    rois = jnp.asarray([[8.0, 8.0, 8.0, 24.0]])        # zero width
+    out = roi_align.roi_align(feat, rois, jnp.zeros((1,), jnp.int32),
+                              spatial_scale=1.0, output_size=7,
+                              sampling_ratio=0)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    sep = roi_align.separable_roi_align_views(
+        feat, rois[None], 1.0, 7, sampling_ratio=0)
+    np.testing.assert_allclose(np.asarray(sep), 0.0)
 
 
 def test_multilevel_roi_align_routing(rng):

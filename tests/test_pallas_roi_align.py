@@ -177,3 +177,116 @@ def test_pallas_align_views_v2_fat_steps(rng, nr):
                                  interpret=True, v2=True)
     np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
                                np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_adaptive_matches_xla(rng):
+    """sampling_ratio=0 (mmcv adaptive, the reference extractor setting)
+    through the patch-DMA kernel matches the XLA adaptive lattice."""
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    n = 23
+    xy = rng.uniform(0, 250, (n, 2))
+    wh = rng.uniform(8, 300, (n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], 1), jnp.float32)
+    views = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    want = multilevel_roi_align(feats, rois, views, strides,
+                                sampling_ratio=0)
+    got = pallas_multilevel_roi_align(feats, rois, views, strides,
+                                      sampling_ratio=0,
+                                      rois_per_step=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_adaptive(rng):
+    """Slab kernel adaptive sampling (fwd, incl. v2 batched-hat body)."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    V, P = 2, 24
+    xy = rng.uniform(0, 250, (V, P, 2))
+    wh = rng.uniform(8, 320, (V, P, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, strides,
+                                sampling_ratio=0)
+    for v2 in (False, True):
+        got = pallas_roi_align_views(feats, rois, strides, sampling_ratio=0,
+                                     rois_per_step=4, interpret=True, v2=v2)
+        np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
+                                   np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_adaptive_overflow(rng):
+    """Extreme-aspect overflow rois under adaptive sampling: both sides
+    clamp the long-axis sample count at ADAPTIVE_SMAX=9, the same clamp
+    as the XLA multilevel default (documented deviation - the short axis
+    ceil <= 2 stays exact)."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(1, 128 // s, 352 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    rois = jnp.asarray([[[0., 100., 350., 112.],
+                         [200., 0., 212., 122.],
+                         [30., 40., 120., 100.]]], jnp.float32)
+    vi = jnp.zeros((3,), jnp.int32)
+    want = multilevel_roi_align(feats, rois.reshape(3, 4), vi, strides,
+                                sampling_ratio=0)
+    got = pallas_roi_align_views(feats, rois, strides, sampling_ratio=0,
+                                 rois_per_step=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(3, 7, 7, 8),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_train_adaptive_grad(rng):
+    """Trainable slab align with adaptive sampling: forward + feature
+    gradients match the XLA adaptive align (the backward mirrors the
+    forward's per-RoI sample counts)."""
+    import jax
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views_train
+
+    strides = (4, 8)
+    dims = [(32, 80), (16, 40)]
+    V, P, C = 2, 9, 8
+    feats = [jnp.asarray(rng.normal(size=(V, h, w, C)), jnp.float32)
+             for h, w in dims]
+    rois = np.zeros((V, P, 4), np.float32)
+    for v in range(V):
+        for p in range(P):
+            x1, y1 = rng.uniform(0, 200), rng.uniform(0, 80)
+            w, h = rng.uniform(4, 120), rng.uniform(4, 120)
+            rois[v, p] = [x1, y1, x1 + w, y1 + h]
+    rois = jnp.asarray(rois)
+    vi = jnp.repeat(jnp.arange(V), P)
+
+    out_s, pos = pallas_roi_align_views_train(feats, rois, strides,
+                                              sampling_ratio=0,
+                                              interpret=True)
+    out = jnp.take_along_axis(out_s, pos[:, :, None, None, None], 1)
+    ref = multilevel_roi_align(feats, rois.reshape(-1, 4), vi, strides,
+                               sampling_ratio=0).reshape(V, P, 7, 7, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    import jax as _jax
+    cot = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+
+    def f_new(fs):
+        o, p_ = pallas_roi_align_views_train(fs, rois, strides,
+                                             sampling_ratio=0,
+                                             interpret=True)
+        o = jnp.take_along_axis(o, p_[:, :, None, None, None], 1)
+        return (o * cot).sum()
+
+    def f_ref(fs):
+        o = multilevel_roi_align(fs, rois.reshape(-1, 4), vi, strides,
+                                 sampling_ratio=0).reshape(V, P, 7, 7, C)
+        return (o * cot).sum()
+
+    g_new = _jax.grad(f_new)(feats)
+    g_ref = _jax.grad(f_ref)(feats)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

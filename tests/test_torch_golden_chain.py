@@ -303,7 +303,9 @@ def o_rcnn(fpn_feats, proposals, bbox_head, cfg):
     for r, box in enumerate(proposals):
         lv = lvls[r]
         feat = fpn_feats[lv][0].permute(1, 2, 0).numpy()    # [H, W, C]
-        roi_feats.append(np_roi_align(feat, box, 1.0 / STRIDES[lv]))
+        # samp=0 = mmcv adaptive ceil(bin), the reference extractor setting
+        # (maskrcnn_r50.py:40 sampling_ratio=0)
+        roi_feats.append(np_roi_align(feat, box, 1.0 / STRIDES[lv], samp=0))
     roi_feats = torch.tensor(np.asarray(roi_feats), dtype=torch.float32)
     # torch flatten order is CHW; the jax head flattens HWC - feed CHW
     with torch.no_grad():
