@@ -303,12 +303,14 @@ class MV2D(nn.Module):
         cat = jnp.concatenate([p4, pos], axis=-1)
         from ..ops.roi_align import separable_roi_align_views
         # sampling_ratio=-1 = mmcv adaptive ceil(bin) samples per axis (ref
-        # bbox_roi_extractor at ..._ep24.py:51); adaptive_max=16 makes it
-        # EXACT for every in-image RoI at stride 16 (max bin = 1408/16/7 =
-        # 12.6 -> ceil 13)
+        # bbox_roi_extractor at ..._ep24.py:51); per-axis slot caps at the
+        # map extent's true worst case (ceil(512/16/7) = 5 rows,
+        # ceil(1408/16/7) = 13 cols) keep it EXACT for every in-image RoI
+        # while the weight-build lattice stays minimal
+        amax = (-(-p4.shape[1] // c.roi_size), -(-p4.shape[2] // c.roi_size))
         roi_feats = separable_roi_align_views(
             cat, boxes, 1.0 / c.stride, c.roi_size, sampling_ratio=-1,
-            adaptive_max=16)
+            adaptive_max=amax)
         roi_feats = roi_feats.reshape(R, c.roi_size, c.roi_size,
                                       cat.shape[-1])
         bbox_feats, roi_pe = jnp.split(roi_feats, 2, axis=-1)

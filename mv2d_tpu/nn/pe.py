@@ -78,9 +78,14 @@ def sine_positional_encoding_3d(mask: jnp.ndarray, num_feats: int = 128,
     dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_feats)
 
     def emb(e):
+        # PARITY-BLOCKED channel order [sin(p0), sin(p2), .., cos(p1), ..]:
+        # the reference stacks at dim=4 then flattens
+        # (positional_encoding.py:84-93) - unlike pos2posemb3d, which
+        # interleaves (pe.py:29-31).  Converted adapt_pos3d weights read
+        # this order (caught by the composed 3D-head golden).
         p = e[..., None] / dim_t
-        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
-                         axis=-1).reshape(*p.shape[:-1], -1)
+        return jnp.concatenate([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                               axis=-1)
 
     return jnp.concatenate([emb(n_embed), emb(y_embed), emb(x_embed)],
                            axis=-1)
@@ -155,22 +160,33 @@ class PE(nn.Module):
                 (pr[3] - self.depth_start) / self.depth_num * \
                 jnp.arange(self.depth_num, dtype=jnp.float32)
         D = self.depth_num
-        # frustum points (u*d, v*d, d, 1): [H, W, D, 4]
-        u = coords_w[None, :, None]
-        v = coords_h[:, None, None]
-        d = coords_d[None, None, :]
-        eps = 1e-3
-        dz = jnp.maximum(d, eps)
-        ones = jnp.ones((H, W, D), dtype=jnp.float32)
-        frustum = jnp.stack([jnp.broadcast_to(u * dz, (H, W, D)),
-                             jnp.broadcast_to(v * dz, (H, W, D)),
-                             jnp.broadcast_to(d, (H, W, D)), ones], axis=-1)
-        # lift to lidar frame per view: [V, H, W, D, 3]
-        pts = jnp.einsum('vij,hwdj->vhwdi', img2lidar, frustum)[..., :3]
+        # frustum points M @ (u*d, v*d, d, 1) factored as d * ray + t with
+        # ray = M[:, :3] @ (u, v, 1), t = M[:, 3].  Exact when every depth
+        # bin >= the reference's eps guard (1e-3; depth_start defaults to
+        # 1.0, ref pe.py:109), and far better conditioned in f32: the
+        # homogeneous form contracts u*d ~ 1e4 magnitudes whose roundoff
+        # (~1e-3 in lidar coords) blows up through inverse_sigmoid's 1e-5
+        # clamp at out-of-range points; the ray form contracts O(u) values
+        # (composed 3D-head golden: PE err 0.52 -> <2e-2).  Also D-fold
+        # less matmul work.
+        assert self.depth_start >= 1e-3
+        u = coords_w[None, :]
+        v = coords_h[:, None]
+        uv1 = jnp.stack([jnp.broadcast_to(u, (H, W)),
+                         jnp.broadcast_to(v, (H, W)),
+                         jnp.ones((H, W), dtype=jnp.float32)], axis=-1)
+        ray = jnp.einsum('vij,hwj->vhwi', img2lidar[:, :3, :3], uv1)
+        t = img2lidar[:, :3, 3]
+        # [V, H, W, D, 3]
+        pts = ray[:, :, :, None, :] * coords_d[None, None, None, :, None] \
+            + t[:, None, None, None, :]
         lo = jnp.asarray(pr[:3]); hi = jnp.asarray(pr[3:])
         pts = (pts - lo) / (hi - lo)
         pos = inverse_sigmoid(pts)
-        pos = pos.transpose(0, 1, 2, 4, 3).reshape(V, H, W, 3 * D)
+        # channel order (d, xyz) interleaved = d*3 + coord, matching the
+        # reference's permute(0,1,4,5,3,2) flatten (ref pe.py:129) so
+        # converted position_encoder.0 weights read the right channels
+        pos = pos.reshape(V, H, W, D * 3)
         # position encoder MLP (1x1 convs: 3D -> 4*C -> C)
         x = nn.Conv(self.embed_dims * 4, (1, 1), name='position_encoder_0')(pos)
         x = nn.relu(x)

@@ -40,16 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 ADAPTIVE_SMAX = 9
 
 
-def _hat_axes(y1, x1, bh, bw, H, W, oy, ox, qio, cell_y, cell_x, S, act=1.0):
+def _pass_smax(ph: int, O: int, S: int) -> int:
+    """Adaptive sample-slot count needed by a pass: a pass-`ph` roi has
+    long side <= ph - 3 cells (routing: `cells > ph - 3` escalates), so
+    per-axis bin <= (ph - 3) / O and ceil(bin) <= ceil((ph - 3) / O).
+    The small-RoI passes (the bulk of detect RoIs) thus run 2 hat slots,
+    not the global worst case 9 - adaptivity costs them nothing."""
+    if S > 0:
+        return S
+    return min(ADAPTIVE_SMAX, -(-(ph - 3) // O))
+
+
+def _hat_axes(y1, x1, bh, bw, H, W, oy, ox, qio, cell_y, cell_x, S, act=1.0,
+              smax=ADAPTIVE_SMAX):
     """Shared hat-profile accumulation for the slab/patch kernels.
 
     Returns (by, bx): per-axis averaged bilinear hat weights with the
     sample-mean divisor AND `act` (y axis only) folded in, so
     out = by @ patch @ bx^T is the final RoIAlign value.  S > 0 = static
     sample count; S <= 0 = mmcv adaptive per-RoI S = ceil(bin), realized
-    as ADAPTIVE_SMAX masked slots (weights fold the true per-RoI divisor,
+    as `smax` masked slots (weights fold the true per-RoI divisor,
     never a trailing broadcast - Mosaic rejects sublane+lane broadcasts
-    of [n, 1, 1] scalars onto [n, O, cells])."""
+    of [n, 1, 1] scalars onto [n, O, cells]).  Callers pass the smallest
+    exact smax (`_pass_smax`) - the loop is the kernels' VPU hot spot."""
     f32 = jnp.float32
     if S > 0:
         nmax = S
@@ -57,7 +70,7 @@ def _hat_axes(y1, x1, bh, bw, H, W, oy, ox, qio, cell_y, cell_x, S, act=1.0):
         wx = 1.0 / S
         syf = sxf = None
     else:
-        nmax = ADAPTIVE_SMAX
+        nmax = smax
         syf = jnp.clip(jnp.ceil(bh), 0.0, float(nmax))
         sxf = jnp.clip(jnp.ceil(bw), 0.0, float(nmax))
         syc = jnp.maximum(syf, 1.0)
@@ -90,69 +103,118 @@ def _hat_axes(y1, x1, bh, bw, H, W, oy, ox, qio, cell_y, cell_x, S, act=1.0):
     return by, bx
 
 
+def _band_weights(lo, ext, origin, n_cells: int, bound, O: int, S: int,
+                  amax: int):
+    """Per-RoI hat-weight matrices [K, O, n_cells] over a band window.
+
+    lo/ext: roi origin/extent in level-local cells; origin: the band's
+    level-local cell origin (positions are shifted by it); bound: the
+    level's true extent (per-roi border tests/clamps).  Mirrors
+    _separable_weights but with per-roi bound and window origin, so the
+    contraction By @ band @ Bx^T over gathered band cells reproduces
+    roi_align exactly (incl. mmcv adaptive S = ceil(bin) when S <= 0,
+    UNCLAMPED as long as amax >= the true per-axis worst case)."""
+    from .roi_align import _axis_grid
+    K = lo.shape[0]
+    xs, wt, div = _axis_grid(lo, ext, O, S, amax)        # [K, O*S']
+    xs = xs.reshape(K, O, -1)
+    wt = wt.reshape(K, O, -1)
+    inside = (xs > -1.0) & (xs < bound[:, None, None])
+    xc = jnp.clip(xs, 0.0, bound[:, None, None] - 1) - origin[:, None, None]
+    cells = jnp.arange(n_cells, dtype=xs.dtype)
+    hat = jnp.maximum(1.0 - jnp.abs(xc[..., None] - cells), 0.0)
+    hat = hat * (inside * wt)[..., None]
+    return hat.sum(-2) / div[:, None, None]              # [K, O, n_cells]
+
+
 def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
                             Hs: Sequence[int], Ws: Sequence[int],
                             strides: Sequence[int], rois: jnp.ndarray,
                             lvl: jnp.ndarray, view: jnp.ndarray,
                             O: int, S: int) -> jnp.ndarray:
-    """Exact XLA-gather RoIAlign for the K overflow RoIs, reading the SAME
-    level-stacked [V, Hslab, Wmax, C] buffer the Pallas kernel uses (flat
-    row (v, l, y, x) = (v*Hslab + row_off[l] + y)*Wmax + x).  Avoids
-    materializing a second flattened copy of every FPN level (~2 ms at
-    full size) just for <=256 RoIs.  NOTE: 4 single-row gathers - a
-    slice_sizes=(2, C) x-pair gather lowers to a per-row while loop on
-    TPU (~240 ms), not a wide-descriptor gather.
+    """EXACT band-dense RoIAlign for the K overflow RoIs, reading the SAME
+    level-stacked [V, Hslab, Wmax, C] buffer the Pallas kernel uses.
 
-    S <= 0 = adaptive sampling with `adaptive_max` masked lattice slots per
-    axis.  Overflow rois are extreme-aspect (long side > 61 cells at the
-    routed level, so aspect > ~4.7): the level-routing algebra bounds their
-    SHORT side below 13 cells, so ceil(bin) <= 2 there is exact; the LONG
-    side's ceil(bin) >= 9 clamps at ADAPTIVE_SMAX - the same clamp as the
-    XLA multilevel path's default, so train (XLA) and eval (Pallas) agree
-    bit-for-bit; the clamped evenly-spaced sample average is within ~1e-3
-    of the converged integral (the one residual deviation, docs/PARITY.md)."""
+    Overflow rois are extreme-aspect (long side > 61 cells at the routed
+    level): level routing targets sqrt(area) in [14, 28) cells, so
+    area < 784 and the SHORT side < 784/61 < 13 cells.  Instead of a
+    point-sample lattice (whose 4-corner gathers are descriptor-bound:
+    the symmetric adaptive lattice cost ~10 ms/step at the detect stage),
+    the roi's full cell FOOTPRINT is gathered as a short-side band and
+    contracted with per-axis hat-weight matrices (By @ band @ Bx^T):
+
+      * WIDE rois: 16 full slab rows (one [Wmax*C] contiguous descriptor
+        per row - ~16 descriptors/roi),
+      * TALL rois: a 24-column band as 3 8-cell granules per slab row
+        ([8C]-contiguous descriptors) over BAND_Y rows,
+
+    both computed for every roi and selected per-roi (canonical where).
+    Adaptive sampling (S <= 0) is UNCLAMPED here - the hat weights fold
+    the true per-axis ceil(bin) up to the level-geometry worst case
+    (long bin <= ceil(Wmax/O) resp. ceil(max H/O)) - so this path is
+    EXACT mmcv semantics, tighter than the lattice clamp it replaces."""
     V, Hslab, Wmax, C = stacked.shape
-    tbl = stacked.reshape(V * Hslab * Wmax, C)
     K = rois.shape[0]
-    from .roi_align import _axis_grid
-    adaptive_max = ADAPTIVE_SMAX
-    Se = S if S > 0 else adaptive_max
-    sc = jnp.asarray([1.0 / s for s in strides], rois.dtype)[lvl][:, None]
-    H = jnp.asarray(Hs)[lvl][:, None]
-    W = jnp.asarray(Ws)[lvl][:, None]
-    base = (view * Hslab + jnp.asarray(row_offs)[lvl]) * Wmax    # [K]
-    x1 = rois[:, 0] * sc[:, 0] - 0.5
-    y1 = rois[:, 1] * sc[:, 0] - 0.5
-    rw = (rois[:, 2] - rois[:, 0]) * sc[:, 0]
-    rh = (rois[:, 3] - rois[:, 1]) * sc[:, 0]
-    xs, wx, divx = _axis_grid(x1, rw, O, S, adaptive_max)
-    ys, wy, divy = _axis_grid(y1, rh, O, S, adaptive_max)
-    X = jnp.broadcast_to(xs[:, None, :], (K, O * Se, O * Se)).reshape(K, -1)
-    Y = jnp.broadcast_to(ys[:, :, None], (K, O * Se, O * Se)).reshape(K, -1)
-    W_s = (wy[:, :, None] * wx[:, None, :]).reshape(K, -1)
-    Wf = W.astype(X.dtype)
-    Hf = H.astype(X.dtype)
-    inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
-    X = jnp.clip(X, 0.0, Wf - 1)
-    Y = jnp.clip(Y, 0.0, Hf - 1)
-    x0 = jnp.floor(X)
-    y0 = jnp.floor(Y)
-    lx = (X - x0)[..., None]
-    ly = (Y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, H.astype(jnp.int32) - 1)
-    x1i = jnp.minimum(x0i + 1, W.astype(jnp.int32) - 1)
+    dt = rois.dtype
+    sc = jnp.asarray([1.0 / s for s in strides], dt)[lvl]
+    H = jnp.asarray(Hs, dt)[lvl]
+    W = jnp.asarray(Ws, dt)[lvl]
+    ro = jnp.asarray(row_offs)[lvl]                      # [K] int
+    x1 = rois[:, 0] * sc - 0.5
+    y1 = rois[:, 1] * sc - 0.5
+    rw = (rois[:, 2] - rois[:, 0]) * sc
+    rh = (rois[:, 3] - rois[:, 1]) * sc
+    wide = rw >= rh
 
-    def g(yi, xi):
-        return tbl[base[:, None] + yi * Wmax + xi]
+    # static short-side bounds.  Non-top levels: level routing targets
+    # sqrt(area) in [14, 28) cells, so overflow (long > 61) implies
+    # short < 784/61 < 13.  The COARSEST level clamps area from above, so
+    # if ITS long dimension exceeds the 61-cell pass cap, overflow rois
+    # routed there can be fat in both axes up to the map itself.
+    short_y = 13 if Ws[-1] <= 61 else max(13, Hs[-1])    # wide rois' rows
+    short_x = 13 if Hs[-1] <= 61 else max(13, Ws[-1])    # tall rois' cols
+    BAND = min(Hslab, -(-(short_y + 3) // 8) * 8)        # wide: band rows
+    BAND_Y = min(Hslab, -(-max(Hs) // 8) * 8)            # tall: long extent
+    GRAN = -(-(short_x + 9) // 8)                        # tall: 8-col grans
+    amax_x = -(-Wmax // O)                               # long-axis ceils
+    amax_y = -(-max(Hs) // O)
+    amax_sy = max(-(-short_y // O), S)                   # short-axis ceils
+    amax_sx = max(-(-short_x // O), S)
 
-    top = (1 - lx) * g(y0i, x0i) + lx * g(y0i, x1i)
-    bot = (1 - lx) * g(y1i, x0i) + lx * g(y1i, x1i)
-    out = (1 - ly) * top + ly * bot
-    out = jnp.where(inside[..., None], out, 0.0)
-    out = (out * W_s[..., None]).reshape(K, O, Se, O, Se, C)
-    return out.sum(axis=(2, 4)) / (divy * divx)[:, None, None, None]
+    # ---- WIDE path: 16 full rows starting at the band origin
+    py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
+                  jnp.minimum(-ro, 0), Hslab - ro - BAND)
+    rows = (view * Hslab + ro + py)[:, None] + jnp.arange(BAND)  # [K, 16]
+    band_w = stacked.reshape(V * Hslab, Wmax * C)[rows]
+    band_w = band_w.reshape(K, BAND, Wmax, C)
+    By_w = _band_weights(y1, rh, py.astype(dt), BAND, H, O, S,
+                         amax_sy)
+    Bx_w = _band_weights(x1, rw, jnp.zeros_like(x1), Wmax, W, O, S, amax_x)
+    t = jnp.einsum('koi,kiwc->kowc', By_w.astype(stacked.dtype), band_w,
+                   preferred_element_type=jnp.float32).astype(stacked.dtype)
+    out_w = jnp.einsum('kjw,kiwc->kijc', Bx_w.astype(stacked.dtype), t,
+                       preferred_element_type=jnp.float32)   # [K, Oy, Ox, C]
+
+    # ---- TALL path: GRAN 8-col granules per row over BAND_Y rows
+    Wg = Wmax // 8
+    gx = jnp.clip(jnp.floor(x1).astype(jnp.int32) // 8, 0,
+                  max(Wg - GRAN, 0))
+    py2 = jnp.clip(jnp.floor(y1).astype(jnp.int32),
+                   jnp.minimum(-ro, 0), Hslab - ro - BAND_Y)
+    gr = ((view * Hslab + ro + py2)[:, None, None]
+          + jnp.arange(BAND_Y)[None, :, None]) * Wg \
+        + (gx[:, None, None] + jnp.arange(GRAN)[None, None, :])
+    band_t = stacked.reshape(V * Hslab * Wg, 8 * C)[gr]      # [K, BY, 3, 8C]
+    band_t = band_t.reshape(K, BAND_Y, GRAN * 8, C)
+    By_t = _band_weights(y1, rh, py2.astype(dt), BAND_Y, H, O, S, amax_y)
+    Bx_t = _band_weights(x1, rw, (gx * 8).astype(dt), GRAN * 8, W, O, S,
+                         amax_sx)
+    s_ = jnp.einsum('kji,kyic->kjyc', Bx_t.astype(stacked.dtype), band_t,
+                    preferred_element_type=jnp.float32).astype(stacked.dtype)
+    out_t = jnp.einsum('kiy,kjyc->kijc', By_t.astype(stacked.dtype), s_,
+                       preferred_element_type=jnp.float32)   # [K, Oy, Ox, C]
+
+    return jnp.where(wide[:, None, None, None], out_w, out_t)
 
 
 def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
@@ -215,59 +277,31 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
 
     @pl.when(tot > 0)
     def _():
-        Se = S if S > 0 else ADAPTIVE_SMAX
-        n_samp = O * Se
-        # sample centers in bin units: (q+0.5)/S == bin(q//S)+(q%S+0.5)/S
-        qi = jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0)
-        samp = (qi.astype(jnp.float32) + 0.5) / Se        # [n_samp, 1]
-        # adaptive (S <= 0): per-roi per-axis sample count ceil(bin) needs
-        # the (bin index, sample index) split so positions can use the true
-        # per-roi count while slots s >= count carry zero weight
-        oi_f = (qi // Se).astype(jnp.float32)
-        si_f = (qi - (qi // Se) * Se).astype(jnp.float32)
-        cell_y = jax.lax.broadcasted_iota(jnp.int32, (n_samp, ph),
+        # hat-SUM weight form (as the slab kernels): the per-bin sample
+        # average folds into [O, cells] hat profiles, so the dots contract
+        # O rows regardless of the sample count - adaptive sampling costs
+        # only the (pass-capped) hat loop, never extra MXU work
+        qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0) \
+            .astype(jnp.float32)
+        cell_y = jax.lax.broadcasted_iota(jnp.int32, (O, ph),
                                           1).astype(jnp.float32)
-        cell_x = jax.lax.broadcasted_iota(jnp.int32, (n_samp, pw),
+        cell_x = jax.lax.broadcasted_iota(jnp.int32, (O, pw),
                                           1).astype(jnp.float32)
-
         # per-roi weight blocks built in 2D (scalar broadcasts), then
         # stacked - Mosaic supports 2D scalar math + stacking, not 1D->3D
         # reshapes
         ays, axs = [], []
         for j in range(nr):
-            y1 = y1_ref[base + j]
-            x1 = x1_ref[base + j]
-            bh = bh_ref[base + j]
-            bw = bw_ref[base + j]
-            H = hf_ref[base + j]
-            W = wf_ref[base + j]
-            oy = py_ref[base + j].astype(jnp.float32)
-            ox = px_ref[base + j].astype(jnp.float32)
-            if S > 0:
-                ys = y1 + samp * bh                       # [n_samp, 1]
-                xs = x1 + samp * bw
-                wyj = wxj = 1.0
-            else:
-                syf = jnp.clip(jnp.ceil(bh), 0.0, float(Se))
-                sxf = jnp.clip(jnp.ceil(bw), 0.0, float(Se))
-                syc = jnp.maximum(syf, 1.0)
-                sxc = jnp.maximum(sxf, 1.0)
-                ys = y1 + (oi_f + (si_f + 0.5) / syc) * bh
-                xs = x1 + (oi_f + (si_f + 0.5) / sxc) * bw
-                # fold the true divisor AND the slot mask into the weights
-                # (the final reduction divides by Se*Se for both branches)
-                wyj = (si_f < syf).astype(jnp.float32) * (Se / syc)
-                wxj = (si_f < sxf).astype(jnp.float32) * (Se / sxc)
-            in_y = (ys > -1.0) & (ys < H)
-            in_x = (xs > -1.0) & (xs < W)
-            ys = jnp.clip(ys, 0.0, H - 1) - oy
-            xs = jnp.clip(xs, 0.0, W - 1) - ox
-            ays.append(jnp.maximum(1.0 - jnp.abs(ys - cell_y), 0.0)
-                       * in_y * wyj)
-            axs.append(jnp.maximum(1.0 - jnp.abs(xs - cell_x), 0.0)
-                       * in_x * wxj)
-        ay = jnp.stack(ays)                               # [nr, n_samp, ph]
-        ax = jnp.stack(axs)                               # [nr, n_samp, pw]
+            by, bx = _hat_axes(
+                y1_ref[base + j], x1_ref[base + j], bh_ref[base + j],
+                bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
+                py_ref[base + j].astype(jnp.float32),
+                px_ref[base + j].astype(jnp.float32),
+                qio, cell_y, cell_x, S, smax=_pass_smax(ph, O, S))
+            ays.append(by)
+            axs.append(bx)
+        ay = jnp.stack(ays)                               # [nr, O, ph]
+        ax = jnp.stack(axs)                               # [nr, O, pw]
 
         for j in range(nr):
             @pl.when(active_ref[base + j] > 0)
@@ -289,16 +323,14 @@ def _kernel(row_ref, px_ref, view_ref, active_ref, y1_ref, x1_ref,
         tmp = jax.lax.dot_general(
             ay.astype(patches.dtype), patches.reshape(nr, ph, pw * C),
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [nr, n_samp, pw*C]
-        tmp = tmp.reshape(nr, n_samp, pw, C).astype(patches.dtype)
-        tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, n_samp * C)
+            preferred_element_type=jnp.float32)           # [nr, O, pw*C]
+        tmp = tmp.reshape(nr, O, pw, C).astype(patches.dtype)
+        tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, O * C)
         full = jax.lax.dot_general(
             ax.astype(patches.dtype), tmp,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [nr, q, p*C]
-        full = full.reshape(nr, n_samp, n_samp, C).transpose(0, 2, 1, 3)
-        full = full.reshape(nr, O, Se, O, Se, C)
-        out = full.mean(axis=(2, 4))                      # [nr, O, O, C]
+            preferred_element_type=jnp.float32)           # [nr, Ox, Oy*C]
+        out = full.reshape(nr, O, O, C).transpose(0, 2, 1, 3)
         # inactive slots already yield exact zeros: their patch was zeroed
         # above and the hat weights are finite, so no explicit mask needed
         out_ref[:] = out.astype(out_ref.dtype)
@@ -542,7 +574,8 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                     bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
                     py_ref[base + j].astype(jnp.float32),
                     px_ref[base + j].astype(jnp.float32),
-                    qio, cell_y, cell_x, S, act=act)
+                    qio, cell_y, cell_x, S, act=act,
+                    smax=_pass_smax(ph, O, S))
                 bys.append(by)
                 bxs.append(bx)
                 pats.append(slab[pl.ds(row_ref[base + j], ph),
@@ -625,7 +658,8 @@ def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 # sublane+lane broadcast
                 By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
                                    col(7), col(8), col(9), col(1),
-                                   qio, cell_y, cell_x, S, act=act)
+                                   qio, cell_y, cell_x, S, act=act,
+                                   smax=_pass_smax(ph, O, S))
                 pats = [slab[pl.ds(row_ref[cbase + j], ph),
                              pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
                                    pw), :] for j in range(nrc)]
@@ -975,7 +1009,8 @@ def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                     bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
                     py_ref[base + j].astype(jnp.float32),
                     px_ref[base + j].astype(jnp.float32),
-                    qio, cell_y, cell_x, S, act=act)
+                    qio, cell_y, cell_x, S, act=act,
+                    smax=_pass_smax(ph, O, S))
                 bys.append(by)
                 bxs.append(bx)
             By = jnp.stack(bys)                       # [nr, O, ph]
@@ -1045,7 +1080,8 @@ def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 # broadcast constraint, see _kernel_slab_v2)
                 By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
                                    col(7), col(8), col(9), col(1),
-                                   qio, cell_y, cell_x, S, act=act)
+                                   qio, cell_y, cell_x, S, act=act,
+                                   smax=_pass_smax(ph, O, S))
 
                 dout = dout_ref[0, pl.ds(chunk * nrc, nrc)].astype(
                     jnp.float32)                      # [nrc, O, O, Cb]
@@ -1186,18 +1222,27 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
     Pp = out_s.shape[1]
 
     if overflow_bucket > 0:
-        # differentiable XLA-gather align for the (rare) overflow rois
-        from .roi_align import multilevel_roi_align
+        # differentiable band-dense align for the (rare) overflow rois
+        # (same exact-unclamped form as the eval kernel's overflow path;
+        # fwd = few fat-row gathers + two einsums, bwd = their transposes -
+        # the previous per-sample lattice cost ~9 ms of descriptor-bound
+        # corner gathers fwd and a matching scatter-add bwd)
         g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
                       rois_per_step)
         over = g['pass_id'] == len(PASS_SIZES)
         K = min(overflow_bucket, V * P)
         sel = jnp.argsort(~over, stable=True)[:K]
         vi = (sel // P).astype(jnp.int32)
-        o = multilevel_roi_align(list(feats), rois.reshape(-1, 4)[sel], vi,
-                                 strides, output_size, sampling_ratio,
-                                 finest_scale, block_layout=False,
-                                 adaptive_max=ADAPTIVE_SMAX)
+        parts = [jnp.pad(f, ((0, 0), (0, 0), (0, g['Wmax'] - f.shape[2]),
+                             (0, 0))) for f in feats]
+        stk = jnp.concatenate(parts, axis=1)
+        if stk.shape[1] < g['Hslab']:
+            stk = jnp.pad(stk, ((0, 0), (0, g['Hslab'] - stk.shape[1]),
+                                (0, 0), (0, 0)))
+        o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
+                                    g['Ws_c'], strides,
+                                    rois.reshape(-1, 4)[sel],
+                                    g['lvl'][sel], vi, O, sampling_ratio)
         o = o * over[sel][:, None, None, None]
         slot = vi * Pp + g['pos'].reshape(-1)[sel]
         out_s = out_s.reshape(V * Pp, O, O, C).at[slot].add(

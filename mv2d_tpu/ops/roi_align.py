@@ -231,7 +231,7 @@ def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
                               spatial_scale: float, output_size: int = 7,
                               sampling_ratio: int = 2,
                               aligned: bool = True,
-                              adaptive_max: int = 16) -> jnp.ndarray:
+                              adaptive_max: int | tuple = 16) -> jnp.ndarray:
     """RoIAlign as two dense batched matmuls over the shared per-view tile.
 
     feat: [V, H, W, C]; boxes: [V, P, 4] image-pixel rois.  Returns
@@ -252,10 +252,15 @@ def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
     if not aligned:
         bw = jnp.maximum(bw, 1.0)
         bh = jnp.maximum(bh, 1.0)
+    # adaptive_max may be (max_y, max_x): callers with a known map extent
+    # cap each axis at its true worst case (e.g. ceil(H / stride / O)),
+    # shrinking the weight-build lattice without losing exactness
+    amax_y, amax_x = adaptive_max if isinstance(adaptive_max, tuple) \
+        else (adaptive_max, adaptive_max)
     Wx = _separable_weights(x1, bw, W, output_size, sampling_ratio,
-                            adaptive_max)
+                            amax_x)
     Wy = _separable_weights(y1, bh, H, output_size, sampling_ratio,
-                            adaptive_max)
+                            amax_y)
     Wx = Wx.astype(feat.dtype)
     Wy = Wy.astype(feat.dtype)
     t = jnp.einsum('vpjx,vyxc->vpjyc', Wx, feat,
@@ -330,12 +335,15 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
         y1 = r_boxes[:, 1] * sc - 0.5
         rw = (r_boxes[:, 2] - r_boxes[:, 0]) * sc
         rh = (r_boxes[:, 3] - r_boxes[:, 1]) * sc
+        Rc = r_boxes.shape[0]
         xs, wx, divx = _axis_grid(x1, rw, O, sampling_ratio, adaptive_max)
         ys, wy, divy = _axis_grid(y1, rh, O, sampling_ratio, adaptive_max)
-        Rc = r_boxes.shape[0]
-        X = jnp.broadcast_to(xs[:, None, :], (Rc, O * S, O * S)).reshape(Rc, -1)
-        Y = jnp.broadcast_to(ys[:, :, None], (Rc, O * S, O * S)).reshape(Rc, -1)
+        X = jnp.broadcast_to(xs[:, None, :],
+                             (Rc, O * S, O * S)).reshape(Rc, -1)
+        Y = jnp.broadcast_to(ys[:, :, None],
+                             (Rc, O * S, O * S)).reshape(Rc, -1)
         W_s = (wy[:, :, None] * wx[:, None, :]).reshape(Rc, -1)
+        div = divy * divx
         Wf = W[:, None].astype(X.dtype)
         Hf = H[:, None].astype(X.dtype)
         inside = (X > -1.0) & (X < Wf) & (Y > -1.0) & (Y < Hf)
@@ -370,7 +378,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                 w10 * g(y1i, x0i) + w11 * g(y1i, x1i)
         out = jnp.where(inside[..., None], out, 0.0)
         out = (out * W_s[..., None]).reshape(Rc, O, S, O, S, C)
-        return out.sum(axis=(2, 4)) / (divy * divx)[:, None, None, None]
+        return out.sum(axis=(2, 4)) / div[:, None, None, None]
 
     if R <= chunk:
         return align_chunk((rois, lvl, view_idx.astype(jnp.int32)))

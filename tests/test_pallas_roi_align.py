@@ -188,10 +188,16 @@ def test_pallas_align_adaptive_matches_xla(rng):
     n = 23
     xy = rng.uniform(0, 250, (n, 2))
     wh = rng.uniform(8, 300, (n, 2))
-    rois = jnp.asarray(np.concatenate([xy, xy + wh], 1), jnp.float32)
+    # clip to the image like the model's proposals (RPN decode clips):
+    # adaptive exactness is guaranteed for in-image rois (beyond-map rois
+    # clamp their sample count at the map-derived cap)
+    rois = np.concatenate([xy, np.minimum(xy + wh, [384.0, 256.0])], 1)
+    rois = jnp.asarray(rois, jnp.float32)
     views = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    # adaptive_max=16 makes the XLA reference exact for every roi here
+    # (max ceil(bin) ~ 13); the Pallas overflow path is exact-unclamped
     want = multilevel_roi_align(feats, rois, views, strides,
-                                sampling_ratio=0)
+                                sampling_ratio=0, adaptive_max=16)
     got = pallas_multilevel_roi_align(feats, rois, views, strides,
                                       sampling_ratio=0,
                                       rois_per_step=4, interpret=True)
@@ -208,10 +214,11 @@ def test_pallas_align_views_adaptive(rng):
     V, P = 2, 24
     xy = rng.uniform(0, 250, (V, P, 2))
     wh = rng.uniform(8, 320, (V, P, 2))
-    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    rois = np.concatenate([xy, np.minimum(xy + wh, [384.0, 256.0])], -1)
+    rois = jnp.asarray(rois, jnp.float32)
     vi = jnp.repeat(jnp.arange(V), P)
     want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, strides,
-                                sampling_ratio=0)
+                                sampling_ratio=0, adaptive_max=16)
     for v2 in (False, True):
         got = pallas_roi_align_views(feats, rois, strides, sampling_ratio=0,
                                      rois_per_step=4, interpret=True, v2=v2)
@@ -220,10 +227,9 @@ def test_pallas_align_views_adaptive(rng):
 
 
 def test_pallas_align_views_adaptive_overflow(rng):
-    """Extreme-aspect overflow rois under adaptive sampling: both sides
-    clamp the long-axis sample count at ADAPTIVE_SMAX=9, the same clamp
-    as the XLA multilevel default (documented deviation - the short axis
-    ceil <= 2 stays exact)."""
+    """Extreme-aspect overflow rois under adaptive sampling: the Pallas
+    overflow path is band-dense and EXACT (unclamped ceil(bin) hats);
+    the XLA reference needs adaptive_max >= the true max ceil."""
     from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
     strides = [4, 8, 16, 32]
     feats = [jnp.asarray(rng.normal(size=(1, 128 // s, 352 // s, 8)),
@@ -233,7 +239,7 @@ def test_pallas_align_views_adaptive_overflow(rng):
                          [30., 40., 120., 100.]]], jnp.float32)
     vi = jnp.zeros((3,), jnp.int32)
     want = multilevel_roi_align(feats, rois.reshape(3, 4), vi, strides,
-                                sampling_ratio=0)
+                                sampling_ratio=0, adaptive_max=16)
     got = pallas_roi_align_views(feats, rois, strides, sampling_ratio=0,
                                  rois_per_step=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(3, 7, 7, 8),

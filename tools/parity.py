@@ -1,0 +1,416 @@
+#!/usr/bin/env python
+"""One-command acceptance harness for the day real weights/data arrive.
+
+    python tools/parity.py <config> [checkpoint.pth] \
+        [--data-root D] [--max-samples N] [--synthetic] [--skip-eval]
+
+Chains the three acceptance checks against the reference
+(tusen-ai/MV2D, README.md:49-53: mAP 0.453 / NDS 0.543 for the shipped
+two-frame R50 recipe):
+
+(a) CONVERT   the torch checkpoint through `convert_torch_state_dict`
+              and report matched / unmatched keys;
+(b) GOLDEN    run ONE sample through the torch transcription of the
+              reference RoI head (tests/test_torch_golden_head3d.py,
+              ref mv2d_head.py:103-186) at the config's full dimensions
+              and print the per-stage max-error table vs the JAX head;
+(c) EVAL      run the val split through `eval/runner.run_eval` and print
+              mAP / NDS next to the reference numbers.
+
+With --synthetic (no checkpoint / no data), every stage runs on
+stand-ins: a generated torch state dict exercises (a), random images
+through the real detector feed (b), and the fake-nuScenes fixture feeds
+(c) - so the harness itself is testable today and the real run is zero
+new code.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+from common import (build_dataset, build_model_config, load_cli_config,
+                    presets)  # noqa: F401
+
+REF_TARGETS = {'mAP': 0.453, 'NDS': 0.543}   # reference README.md:49-53
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--data-root', default=None)
+    p.add_argument('--max-samples', type=int, default=None)
+    p.add_argument('--synthetic', action='store_true',
+                   help='run every stage on synthetic stand-ins')
+    p.add_argument('--skip-eval', action='store_true')
+    p.add_argument('--skip-golden', action='store_true')
+    p.add_argument('--golden-proposals', type=int, default=8,
+                   help='proposal slots per view for the golden sample '
+                        '(the torch oracle is python loops)')
+    p.add_argument('--cfg-options', nargs='*', default=None)
+    return p.parse_args()
+
+
+# --------------------------------------------------------- (a) conversion
+
+def _synthetic_state_dict(mcfg):
+    """Stand-in torch checkpoint: the RoI-head transcription at the
+    config's dimensions, reference key names."""
+    import torch
+    g = _head_oracle_module(mcfg, num_views=mcfg.num_views,
+                            pad=mcfg.image_size)
+    torch.manual_seed(3)
+    rng = np.random.default_rng(3)
+    tpe, tqg, thead = g.TPE(), g.TQueryGenerator(), g.TBoxHead()
+    sd = {}
+    for prefix, m in (('roi_head.position_encoding.', tpe),
+                      ('roi_head.query_generator.', tqg),
+                      ('roi_head.bbox_head.', thead)):
+        with torch.no_grad():
+            for prm in m.parameters():
+                prm.copy_(torch.tensor(
+                    rng.normal(0, 0.02, tuple(prm.shape)),
+                    dtype=torch.float32))
+        sd.update({prefix + k: v for k, v in m.state_dict().items()})
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def convert_report(sd_numpy):
+    from mv2d_tpu.train.checkpoint import convert_torch_state_dict
+    params, constants = convert_torch_state_dict(sd_numpy)
+    unmatched = params.pop('_unmatched')
+    keys = params.pop('_unmatched_keys', [])
+    total = len(sd_numpy)
+    print(f'[convert] {total - unmatched}/{total} torch keys matched')
+    if unmatched:
+        print('[convert] UNMATCHED:')
+        for k in keys:
+            print('   ', k)
+    return params, constants, unmatched
+
+
+# ------------------------------------------------------------- (b) golden
+
+def _head_oracle_module(mcfg, num_views, pad):
+    """Import the torch transcription and repoint its module-level dims at
+    the config's full scale (the classes read the globals at call time)."""
+    sys.path.insert(0, os.path.abspath(
+        os.path.join(os.path.dirname(__file__), os.pardir)))
+    import tests.test_torch_golden_head3d as g
+    g.C = mcfg.embed_dims
+    g.HEADS = mcfg.num_heads
+    g.LAYERS = mcfg.num_decoder_layers
+    g.FF = mcfg.feedforward_channels
+    g.DEPTH_NUM = mcfg.depth_num
+    g.NUM_CLASSES = mcfg.num_classes
+    g.V = num_views
+    g.PAD = tuple(pad)
+    g.STRIDE = mcfg.stride
+    g.FH, g.FW = pad[0] // mcfg.stride, pad[1] // mcfg.stride
+    g.ROI = mcfg.roi_size
+    g.PC_RANGE = tuple(mcfg.pc_range)
+    g.POS_RANGE = tuple(mcfg.position_range)
+    g.TOPK = mcfg.correlation.topk
+    g.MAX_NUM = mcfg.max_num
+    return g
+
+
+def golden_table(mcfg, variables, sample, n_prop):
+    """Per-stage torch-vs-JAX error table on one sample.
+
+    Runs the CURRENT-FRAME single-frame head (the torch oracle transcribes
+    the frame-agnostic MV2D head; MV2DT's velocity/dt scaling is covered
+    by unit goldens).  The JAX 2D detector produces features + proposals;
+    both heads consume them."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mv2d_tpu.core.geometry import (prepare_camera_params,
+                                        virtual_intrinsics)
+    from mv2d_tpu.models.detector2d import DetectionProposalCfg
+    from mv2d_tpu.models.mv2d import MV2D
+
+    V = mcfg.num_views
+    pad = tuple(mcfg.image_size)
+    cfg1 = mcfg._replace(
+        num_frames=1, use_denoise=False, dropout=0.0,
+        k_max=min(mcfg.k_max, V * (pad[0] // mcfg.stride)
+                  * (pad[1] // mcfg.stride)),
+        proposal_test=mcfg.proposal_test._replace(max_per_img=n_prop))
+    model = MV2D(cfg1)
+    g = _head_oracle_module(mcfg, num_views=V, pad=pad)
+
+    imgs = jnp.asarray(sample['imgs'][:V])
+    K, E = np.asarray(sample['intrinsics'])[:V], \
+        np.asarray(sample['extrinsics'])[:V]
+    img_shapes = jnp.asarray(sample['img_shapes'][:V])
+    cam = prepare_camera_params(K, E)
+    lidar2img = K @ np.transpose(E, (0, 2, 1))
+
+    def head_fwd(mdl, im, cam_, shapes_):
+        fpn, p4 = mdl.extract_feats(im, fast_inference=True)
+        proposals = mdl.base_detector.detect(fpn, mdl.cfg.image_size,
+                                             mdl.cfg.proposal_test)
+        pos = mdl.pe(p4, cam_.img2lidar, shapes_, mdl.cfg.image_size)
+        out = mdl.roi_head_forward(p4, pos, proposals, cam_, shapes_)
+        return p4, pos, proposals, out
+
+    # graft the converted weights over a random init (missing subtrees -
+    # e.g. a synthetic stand-in without the 2D detector - stay random:
+    # both oracles consume the SAME features/proposals so the table still
+    # measures head parity)
+    init_vars = model.init(jax.random.PRNGKey(0), imgs, cam, img_shapes,
+                           method=head_fwd)
+    merged = _merge(init_vars['params'], variables.get('params', {}))
+    consts = _merge(init_vars.get('constants', {}),
+                    variables.get('constants', {}))
+    run_vars = {'params': merged}
+    if consts:
+        run_vars['constants'] = consts
+    p4_j, pos_j, proposals, out_j = model.apply(
+        run_vars, imgs, cam, img_shapes, method=head_fwd)
+
+    # ---------------- torch side (reuses the composed-golden oracle)
+    tpe, tqg, thead = g.TPE(), g.TQueryGenerator(), g.TBoxHead()
+    loaded = _load_head_torch(merged, tpe, tqg, thead, g)
+    if not loaded:
+        print('[golden] (torch head rebuilt from converted JAX params '
+              'failed; skipping)')
+        return
+
+    p4 = np.asarray(p4_j, np.float32)
+    boxes = np.asarray(proposals.boxes)
+    valid = np.asarray(proposals.valid)
+    P = boxes.shape[1]
+    vmask = valid.reshape(-1)
+    errs = {}
+    if not vmask.any():
+        print('[golden] detector produced no proposals on this sample; '
+              'nothing to compare')
+        return
+
+    with torch.no_grad():
+        pos_t = tpe(torch.tensor(p4).permute(0, 3, 1, 2), lidar2img,
+                    np.asarray(img_shapes))
+    pos_t = pos_t.permute(0, 2, 3, 1).numpy()
+    errs['pe'] = float(np.abs(np.asarray(pos_j) - pos_t).max())
+
+    tb = [torch.tensor(boxes[v][valid[v]]) for v in range(V)]
+    Kv_t, Ev_t = g.t_get_box_params(tb, K, E)
+    Kv_j = np.asarray(virtual_intrinsics(
+        jnp.asarray(boxes.reshape(-1, 4)),
+        cam.intrinsics[jnp.repeat(jnp.arange(V), P)],
+        (mcfg.roi_size, mcfg.roi_size)))
+    errs['virtual_intrinsics'] = float(
+        np.abs(Kv_j[vmask] - Kv_t.numpy()).max())
+
+    from mv2d_tpu.ops.roi_align import separable_roi_align_views
+    FH, FW = g.FH, g.FW
+    O = mcfg.roi_size
+    cat_j = jnp.concatenate([jnp.asarray(p4), pos_j], axis=-1)
+    roi_j = np.asarray(separable_roi_align_views(
+        cat_j, jnp.asarray(boxes), 1.0 / mcfg.stride, O,
+        sampling_ratio=-1, adaptive_max=(-(-FH // O), -(-FW // O))
+    )).reshape(V * P, O, O, -1)
+    cat_t = torch.cat([torch.tensor(p4).permute(0, 3, 1, 2),
+                       torch.tensor(pos_t).permute(0, 3, 1, 2)], dim=1)
+    e = 0.0
+    roi_t = np.zeros_like(roi_j)
+    for r in range(V * P):
+        if not vmask[r]:
+            continue
+        roi_t[r] = g._np_roi_align_concat(cat_t[r // P],
+                                          boxes.reshape(-1, 4)[r])
+        e = max(e, float(np.abs(roi_j[r] - roi_t[r]).max()))
+    errs['roi_align'] = e
+
+    # composed decoder outputs through the full JAX head vs torch
+    rois5 = []
+    for v in range(V):
+        for b in boxes[v][valid[v]]:
+            rois5.append([v, *b])
+    rois5 = torch.tensor(np.asarray(rois5, np.float32))
+    matched = g.t_epipolar(rois5, [int(valid[v].sum()) for v in range(V)],
+                           lidar2img, 'topk')
+    pix_t = g.t_pixel_masks(rois5, matched).numpy()
+    C = mcfg.embed_dims
+    feat_t = torch.tensor(roi_t[vmask][..., :C]).permute(0, 3, 1, 2)
+    intr_feat = (Kv_t.reshape(-1, 16).float() * 0.1)
+    wh_t = rois5[:, 3:5] - rois5[:, 1:3]
+    intr_feat[(wh_t < 4).any(1)] = 0
+    with torch.no_grad():
+        refs_t, _ = tqg(feat_t, Kv_t, Ev_t, intr_feat)
+    pr = np.asarray(mcfg.pc_range)
+    refs_t = ((refs_t.numpy() - pr[:3]) / (pr[3:] - pr[:3])
+              ).astype(np.float32)
+    import torch.nn.functional as F
+    with torch.no_grad():
+        masks = torch.ones((1, V, pad[0], pad[1]))
+        for i in range(V):
+            masks[0, i, :int(img_shapes[i][0]), :int(img_shapes[i][1])] = 0
+        pad_t = F.interpolate(masks, size=(FH, FW)).to(torch.bool)[0].numpy()
+    kidx = np.nonzero(pix_t.any(0).reshape(-1))[0]
+    keys_t = torch.tensor(p4.reshape(-1, C)[kidx])
+    kpos_t = torch.tensor(pos_t.reshape(-1, C)[kidx])
+    blocked = ~pix_t.reshape(-1, V * FH * FW)[:, kidx]
+    blocked |= pad_t.reshape(-1)[kidx][None]
+    keep = ~blocked.all(1)
+    with torch.no_grad():
+        cls_t, box_t = thead(torch.tensor(refs_t), keys_t, kpos_t,
+                             torch.tensor(blocked))
+    cls_j = np.asarray(out_j.all_cls_scores)[:, vmask]
+    box_j = np.asarray(out_j.all_bbox_preds)[:, vmask]
+    errs['decoder_cls'] = float(
+        np.abs(cls_j[:, keep] - cls_t.numpy()[:, keep]).max())
+    errs['decoder_box'] = float(
+        np.abs(box_j[:, keep] - box_t.numpy()[:, keep]).max())
+
+    print('[golden] per-stage max |err| torch-vs-JAX '
+          f'({int(vmask.sum())} proposals, {V} views @ {pad}):')
+    for k, v in errs.items():
+        print(f'    {k:20s} {v:.3e}')
+    return errs
+
+
+def _load_head_torch(sd_numpy, tpe, tqg, thead):
+    """Load the reference-named torch state dict (the SAME one the
+    converter consumed) into the transcription modules, so the oracle runs
+    exactly the checkpoint's weights and the JAX side runs the converted
+    ones - the comparison covers the converter too."""
+    import torch
+
+    def sub(prefix, module):
+        want = module.state_dict()
+        got = {k[len(prefix):]: torch.tensor(np.asarray(v))
+               for k, v in sd_numpy.items() if k.startswith(prefix)}
+        missing = [k for k in want if k not in got]
+        if missing:
+            print(f'[golden] {prefix}* missing {len(missing)} keys '
+                  f'(e.g. {missing[:3]})')
+            return False
+        module.load_state_dict(got, strict=False)
+        return True
+
+    ok = sub('roi_head.position_encoding.', tpe)
+    ok &= sub('roi_head.query_generator.', tqg)
+    ok &= sub('roi_head.bbox_head.', thead)
+    for m in (tpe, tqg, thead):
+        m.eval()
+    return bool(ok)
+
+
+def _merge(base, over):
+    if not isinstance(base, dict):
+        return over if over is not None else base
+    out = dict(base)
+    for k, v in (over or {}).items():
+        out[k] = _merge(base.get(k), v) if k in base else v
+    return out
+
+
+# --------------------------------------------------------------- (c) eval
+
+def run_val_eval(cfg, mcfg, variables, max_samples, synthetic):
+    import jax
+    from mv2d_tpu.eval.runner import run_eval
+    from mv2d_tpu.models.mv2d import MV2D
+
+    if synthetic:
+        tmp = tempfile.mkdtemp(prefix='parity_fake_')
+        sys.path.insert(0, os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir)))
+        from tests.test_data import _fake_nuscenes
+        from mv2d_tpu.data.nuscenes import NuScenesDataset, SampleBuckets
+        from mv2d_tpu.data.pipeline import IdaAugConfig
+        info_path, coco_path = _fake_nuscenes(tmp, n_samples=2)
+        final = tuple(mcfg.image_size)
+        dataset = NuScenesDataset(
+            info_path=info_path, ann2d_path=coco_path,
+            num_frames=mcfg.num_frames, test_mode=True, final_dim=final,
+            ida=IdaAugConfig(final_dim=final, H=90, W=160),
+            buckets=SampleBuckets(max_gt3d=mcfg.max_gt,
+                                  max_gt2d=mcfg.max_gt2d))
+    else:
+        dataset = build_dataset(cfg, 'val')
+
+    model = MV2D(mcfg)
+    s0 = dataset.get_sample(0, np.random.default_rng(0))
+    from mv2d_tpu.data.nuscenes import to_eval_inputs
+    imgs, cam, shapes = to_eval_inputs(s0)
+    init_vars = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    merged = {'params': _merge(init_vars['params'],
+                               variables.get('params', {}))}
+    if 'constants' in init_vars or variables.get('constants'):
+        merged['constants'] = _merge(init_vars.get('constants', {}),
+                                     variables.get('constants', {}))
+    metrics, _ = run_eval(model, merged, dataset, max_samples=max_samples,
+                          data_parallel=False)
+    print('[eval] metric     ours      reference   delta')
+    for k, ref in REF_TARGETS.items():
+        v = float(metrics.get(k, float('nan')))
+        print(f'[eval] {k:8s} {v:9.4f} {ref:9.4f}   {v - ref:+.4f}')
+    ok = all(float(metrics.get(k, 0.0)) >= ref - 0.003
+             for k, ref in REF_TARGETS.items())
+    print('[eval] PARITY', 'PASS (within 0.3 pt)' if ok else
+          'FAIL' if not synthetic else 'n/a (synthetic stand-in)')
+    return metrics
+
+
+def main():
+    args = parse_args()
+    os.environ.setdefault('MV2D_EXACT_TOPK', '1')
+    cfg = load_cli_config(args.config, args.cfg_options)
+    if args.data_root:
+        for split in cfg.get('data', {}):
+            if isinstance(cfg['data'][split], dict):
+                cfg['data'][split]['data_root'] = args.data_root
+    mcfg = build_model_config(cfg)
+
+    variables = {}
+    if args.checkpoint:
+        import torch
+        sd = torch.load(args.checkpoint, map_location='cpu')
+        sd = sd.get('state_dict', sd)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        params, constants, _ = convert_report(sd)
+        variables = {'params': params, 'constants': constants}
+    elif args.synthetic:
+        print('[convert] no checkpoint: converting a synthetic torch '
+              'state dict (RoI-head subtree at config scale)')
+        params, constants, unmatched = convert_report(
+            _synthetic_state_dict(mcfg))
+        assert unmatched == 0, 'stand-in conversion must fully match'
+        variables = {'params': params, 'constants': constants}
+
+    if not args.skip_golden:
+        if args.synthetic or not args.data_root:
+            from __graft_entry__ import _rig
+            V = mcfg.num_views
+            rng = np.random.default_rng(0)
+            K, E = _rig(V, mcfg.image_size)
+            sample = dict(
+                imgs=rng.normal(0, 0.5, (V, *mcfg.image_size, 3)
+                                ).astype(np.float32),
+                intrinsics=K, extrinsics=E,
+                img_shapes=np.asarray([[*mcfg.image_size]] * V))
+        else:
+            dataset = build_dataset(cfg, 'val')
+            s = dataset.get_sample(0, np.random.default_rng(0))
+            sample = dict(imgs=np.asarray(s['imgs']),
+                          intrinsics=np.asarray(s['intrinsics']),
+                          extrinsics=np.asarray(s['extrinsics']),
+                          img_shapes=np.asarray(s['img_shapes']))
+        golden_table(mcfg, variables, sample, args.golden_proposals)
+
+    if not args.skip_eval:
+        run_val_eval(cfg, mcfg, variables, args.max_samples, args.synthetic)
+
+
+if __name__ == '__main__':
+    main()
