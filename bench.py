@@ -10,6 +10,7 @@ implementation (mmdet3d benchmark.py protocol) of 6.5 samples/sec; the
 reference repo publishes no speed numbers (BASELINE.md), and the driver
 target is >= 10x that per v5e chip.
 """
+import argparse
 import json
 import time
 
@@ -19,6 +20,11 @@ A100_BASELINE_SPS = 6.5
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--config', choices=('r50', 'r101'), default='r50',
+                   help='r50 = the flagship two-frame recipe (driver '
+                        'metric); r101 = the 1600x640 stretch recipe')
+    args = p.parse_args()
     import jax
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
@@ -28,7 +34,10 @@ def main():
     from mv2d_tpu.models.mv2d import MV2D
     from __graft_entry__ import _rig
 
-    cfg = configs.mv2d_t_r50()
+    cfg = configs.mv2d_t_r50() if args.config == 'r50' \
+        else configs.mv2d_t_r101()
+    name = {'r50': 'MV2D-T R50 1408x512',
+            'r101': 'MV2D-T R101 1600x640'}[args.config]
     V = cfg.total_views
     K, E = _rig(V, cfg.image_size)
     cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
@@ -104,7 +113,7 @@ def main():
         mode = 'f32'
 
     print(json.dumps({
-        "metric": f"MV2D-T R50 1408x512 val inference throughput ({mode})",
+        "metric": f"{name} val inference throughput ({mode})",
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / A100_BASELINE_SPS, 3),

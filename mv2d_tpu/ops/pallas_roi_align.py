@@ -503,18 +503,23 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
 
     if overflow_bucket > 0:
         # extreme-aspect rois (> 61 cells at their routed level) sit at the
-        # END of the sorted order - exact XLA gather for up to K of them
+        # END of the sorted order - exact XLA gather for up to K of them.
+        # Gated on any() so overflow-free steps skip the band gathers
         K = min(overflow_bucket, R)
         sel = order[R - K:]
         ov = pass_s[R - K:] == len(PASS_SIZES)
-        # gathers from the SAME stacked buffer the kernel reads (a separate
-        # flattened table copy costs ~2 ms at full size for <=256 RoIs)
-        o_small = _overflow_align_stacked(stacked, row_offs, Hs_c, Ws_c,
-                                          strides, rois_s[R - K:],
-                                          lvl_s[R - K:], view_s[R - K:],
-                                          output_size, sampling_ratio)
-        o_small = o_small * ov[:, None, None, None]
-        out = out.at[sel].add(o_small.astype(out.dtype))
+
+        def add_overflow(buf):
+            # gathers from the SAME stacked buffer the kernel reads (a
+            # separate flattened table copy costs ~2 ms at full size)
+            o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
+                                              Ws_c, strides, rois_s[R - K:],
+                                              lvl_s[R - K:], view_s[R - K:],
+                                              output_size, sampling_ratio)
+            o_small = o_small * ov[:, None, None, None]
+            return buf.at[sel].add(o_small.astype(buf.dtype))
+
+        out = jax.lax.cond(ov.any(), add_overflow, lambda b: b, out)
     return out
 
 
@@ -935,22 +940,35 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         R = V * P
         K = min(overflow_bucket, R)
         over = pass_id == npass
-        sel = jnp.argsort(~over, stable=True)[:K]
-        vi = (sel // P).astype(jnp.int32)
-        # gathers from the SAME stacked slab the kernel reads - a separate
-        # flattened table copy costs ~2 ms at full size for <=256 RoIs
-        o_small = _overflow_align_stacked(stacked, row_offs, Hs_c, Ws_c,
-                                          strides, flat[sel], lvl[sel], vi,
-                                          O, S)
-        o_small = o_small * over[sel][:, None, None, None]
+
+        # the band-dense gathers + einsums + the argsort are ~1 GB of
+        # traffic at full size; overflow rois are RARE (extreme aspect),
+        # so the whole branch is gated on over.any() - a frame with no
+        # overflow rois (the common case) pays one reduction, not the
+        # worst-case bucket (under vmap the cond lowers to select and
+        # both branches run - same as the ungated form, no worse)
+        def add_overflow(buf):
+            sel = jnp.argsort(~over, stable=True)[:K]
+            vi = (sel // P).astype(jnp.int32)
+            # gathers from the SAME stacked slab the kernel reads - a
+            # separate flattened table copy costs ~2 ms at full size
+            o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
+                                              Ws_c, strides, flat[sel],
+                                              lvl[sel], vi, O, S)
+            o_small = o_small * over[sel][:, None, None, None]
+            if compacted:
+                # scatter into the compacted slot of each overflow roi
+                slot = vi * Pp + pos.reshape(-1)[sel]
+                return buf.reshape(V * Pp, O, O, C).at[slot].add(
+                    o_small.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+            return buf.reshape(R, O, O, C).at[sel].add(
+                o_small.astype(buf.dtype)).reshape(V, P, O, O, C)
+
         if compacted:
-            # scatter into the compacted slot of each overflow roi
-            slot = vi * Pp + pos.reshape(-1)[sel]
-            out_s = out_s.reshape(V * Pp, O, O, C).at[slot].add(
-                o_small.astype(out_s.dtype)).reshape(V, Pp, O, O, C)
+            out_s = jax.lax.cond(over.any(), add_overflow,
+                                 lambda b: b, out_s)
         else:
-            out = out.reshape(R, O, O, C).at[sel].add(
-                o_small.astype(out.dtype)).reshape(V, P, O, O, C)
+            out = jax.lax.cond(over.any(), add_overflow, lambda b: b, out)
     if compacted:
         return out_s, pos.astype(jnp.float32)
     return out
@@ -1226,25 +1244,35 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         # (same exact-unclamped form as the eval kernel's overflow path;
         # fwd = few fat-row gathers + two einsums, bwd = their transposes -
         # the previous per-sample lattice cost ~9 ms of descriptor-bound
-        # corner gathers fwd and a matching scatter-add bwd)
+        # corner gathers fwd and a matching scatter-add bwd).  Gated on
+        # over.any(): a step with no overflow rois (the common case) skips
+        # the stacked-slab assembly, gathers and einsums entirely - fwd AND
+        # bwd (cond's VJP differentiates only the taken branch)
         g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
                       rois_per_step)
         over = g['pass_id'] == len(PASS_SIZES)
         K = min(overflow_bucket, V * P)
-        sel = jnp.argsort(~over, stable=True)[:K]
-        vi = (sel // P).astype(jnp.int32)
-        parts = [jnp.pad(f, ((0, 0), (0, 0), (0, g['Wmax'] - f.shape[2]),
-                             (0, 0))) for f in feats]
-        stk = jnp.concatenate(parts, axis=1)
-        if stk.shape[1] < g['Hslab']:
-            stk = jnp.pad(stk, ((0, 0), (0, g['Hslab'] - stk.shape[1]),
-                                (0, 0), (0, 0)))
-        o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
-                                    g['Ws_c'], strides,
-                                    rois.reshape(-1, 4)[sel],
-                                    g['lvl'][sel], vi, O, sampling_ratio)
-        o = o * over[sel][:, None, None, None]
-        slot = vi * Pp + g['pos'].reshape(-1)[sel]
-        out_s = out_s.reshape(V * Pp, O, O, C).at[slot].add(
-            o.astype(out_s.dtype)).reshape(V, Pp, O, O, C)
+
+        def add_overflow(buf):
+            sel = jnp.argsort(~over, stable=True)[:K]
+            vi = (sel // P).astype(jnp.int32)
+            parts = [jnp.pad(f, ((0, 0), (0, 0),
+                                 (0, g['Wmax'] - f.shape[2]), (0, 0)))
+                     for f in feats]
+            stk = jnp.concatenate(parts, axis=1)
+            if stk.shape[1] < g['Hslab']:
+                stk = jnp.pad(stk, ((0, 0),
+                                    (0, g['Hslab'] - stk.shape[1]),
+                                    (0, 0), (0, 0)))
+            o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
+                                        g['Ws_c'], strides,
+                                        rois.reshape(-1, 4)[sel],
+                                        g['lvl'][sel], vi, O,
+                                        sampling_ratio)
+            o = o * over[sel][:, None, None, None]
+            slot = vi * Pp + g['pos'].reshape(-1)[sel]
+            return buf.reshape(V * Pp, O, O, C).at[slot].add(
+                o.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+
+        out_s = jax.lax.cond(over.any(), add_overflow, lambda b: b, out_s)
     return out_s, pos

@@ -120,7 +120,7 @@ def _head_oracle_module(mcfg, num_views, pad):
     return g
 
 
-def golden_table(mcfg, variables, sample, n_prop):
+def golden_table(mcfg, variables, sd_raw, sample, n_prop):
     """Per-stage torch-vs-JAX error table on one sample.
 
     Runs the CURRENT-FRAME single-frame head (the torch oracle transcribes
@@ -177,11 +177,12 @@ def golden_table(mcfg, variables, sample, n_prop):
         run_vars, imgs, cam, img_shapes, method=head_fwd)
 
     # ---------------- torch side (reuses the composed-golden oracle)
+    if sd_raw is None:
+        print('[golden] no torch state dict (pass a checkpoint or '
+              '--synthetic); skipping the golden table')
+        return
     tpe, tqg, thead = g.TPE(), g.TQueryGenerator(), g.TBoxHead()
-    loaded = _load_head_torch(merged, tpe, tqg, thead, g)
-    if not loaded:
-        print('[golden] (torch head rebuilt from converted JAX params '
-              'failed; skipping)')
+    if not _load_head_torch(sd_raw, tpe, tqg, thead):
         return
 
     p4 = np.asarray(p4_j, np.float32)
@@ -373,18 +374,19 @@ def main():
     mcfg = build_model_config(cfg)
 
     variables = {}
+    sd_raw = None
     if args.checkpoint:
         import torch
         sd = torch.load(args.checkpoint, map_location='cpu')
         sd = sd.get('state_dict', sd)
-        sd = {k: v.numpy() for k, v in sd.items()}
-        params, constants, _ = convert_report(sd)
+        sd_raw = {k: v.numpy() for k, v in sd.items()}
+        params, constants, _ = convert_report(sd_raw)
         variables = {'params': params, 'constants': constants}
     elif args.synthetic:
         print('[convert] no checkpoint: converting a synthetic torch '
               'state dict (RoI-head subtree at config scale)')
-        params, constants, unmatched = convert_report(
-            _synthetic_state_dict(mcfg))
+        sd_raw = _synthetic_state_dict(mcfg)
+        params, constants, unmatched = convert_report(sd_raw)
         assert unmatched == 0, 'stand-in conversion must fully match'
         variables = {'params': params, 'constants': constants}
 
@@ -406,7 +408,8 @@ def main():
                           intrinsics=np.asarray(s['intrinsics']),
                           extrinsics=np.asarray(s['extrinsics']),
                           img_shapes=np.asarray(s['img_shapes']))
-        golden_table(mcfg, variables, sample, args.golden_proposals)
+        golden_table(mcfg, variables, sd_raw, sample,
+                     args.golden_proposals)
 
     if not args.skip_eval:
         run_val_eval(cfg, mcfg, variables, args.max_samples, args.synthetic)
