@@ -18,10 +18,14 @@ from flax import linen as nn
 
 
 def _upsample_nearest_2x(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    # one broadcast + one reshape (not two stacked jnp.repeats, whose
+    # intermediate [V, 2h, w, C] broadcast materialized as a ~1.4 ms/step
+    # HBM pass in the eval trace) so XLA can fuse the whole upsample into
+    # the consumer add
     v, h, w, c = x.shape
     th, tw = like.shape[1], like.shape[2]
-    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    return x[:, :th, :tw]
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (v, h, 2, w, 2, c))
+    return x.reshape(v, 2 * h, 2 * w, c)[:, :th, :tw]
 
 
 class FPN(nn.Module):

@@ -7,6 +7,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 max pool as two 1-D slice-max passes.
+
+    Exactly nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)]*2);
+    XLA lowers that reduce-window directly (1.6 ms/step on the stem's
+    [12, 256, 704, 64] map in the eval trace) while the separable
+    slice-max form fuses into two bandwidth-bound elementwise passes.
+    """
+    V, H, W, C = x.shape
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    r = [xp[:, i:i + 2 * Ho:2] for i in range(3)]
+    h = jnp.maximum(jnp.maximum(r[0], r[1]), r[2])
+    c = [h[:, :, j:j + 2 * Wo:2] for j in range(3)]
+    return jnp.maximum(jnp.maximum(c[0], c[1]), c[2])
+
+
 def conv1x1_dot(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
                 stride: int = 1) -> jnp.ndarray:
     """1x1 conv as reshape + matmul.

@@ -16,6 +16,29 @@ from flax import linen as nn
 from .rpn import delta2bbox
 
 
+class _FlatDense(nn.Module):
+    """Dense over a flattened [R, H, W, C] input WITHOUT the explicit
+    reshape: x.reshape(R, -1) before the fc1 matmul forced XLA to
+    materialize a ~300 MB relayout copy of the full RoI-feature tensor
+    (est. ~4 ms/step in the eval HLO); a dot_general contracting
+    (H, W, C) directly lets the matmul read the producer's layout.
+    Parameters keep nn.Dense's {kernel [H*W*C, F], bias [F]} tree, so
+    torch-checkpoint conversion is unchanged (row-major h, w, c flatten
+    order matches the kernel reshape exactly)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        H, W, C = x.shape[1:]
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (H * W * C, self.features))
+        b = self.param('bias', nn.initializers.zeros, (self.features,))
+        y = jax.lax.dot_general(
+            x, k.reshape(H, W, C, self.features).astype(x.dtype),
+            (((1, 2, 3), (0, 1, 2)), ((), ())))
+        return y + b.astype(y.dtype)
+
+
 class Shared2FCBBoxHead(nn.Module):
     num_classes: int = 10
     fc_out_channels: int = 1024
@@ -24,8 +47,8 @@ class Shared2FCBBoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         """roi_feats: [R, 7, 7, C] -> (cls_logits [R, K+1], deltas [R, K*4])."""
-        x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_out_channels, name='shared_fc1')(x))
+        x = _FlatDense(self.fc_out_channels, name='shared_fc1')(roi_feats)
+        x = nn.relu(x)
         x = nn.relu(nn.Dense(self.fc_out_channels, name='shared_fc2')(x))
         cls_logits = nn.Dense(self.num_classes + 1, name='fc_cls')(x)
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.dcn import ModulatedDeformConv
-from .layers import FrozenBatchNorm, conv1x1_dot
+from .layers import FrozenBatchNorm, conv1x1_dot, max_pool_3x3_s2
 
 STAGE_BLOCKS = {
     10: (1, 1, 1, 1),   # miniature bottleneck net for tests/dry-runs
@@ -193,7 +193,7 @@ class ResNet(nn.Module):
             k = self.get_variable('params', 'stem_conv')['kernel']
             x = s2d_stem_conv(x, k * s_bn) + b_bn.astype(x.dtype)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        x = max_pool_3x3_s2(x)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
         outs = []

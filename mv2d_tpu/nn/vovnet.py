@@ -15,7 +15,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import FrozenBatchNorm
+from .layers import FrozenBatchNorm, max_pool_3x3_s2
 
 SPECS = {
     # stem chs, stage conv ch, stage out ch, layers/block, blocks/stage
@@ -95,8 +95,7 @@ class VoVNet(nn.Module):
         outs = []
         for s in range(4):
             if s > 0:
-                x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                                padding=[(1, 1)] * 2)
+                x = max_pool_3x3_s2(x)
             for b in range(blocks[s]):
                 x = OSABlock(conv_ch[s], out_ch[s], n_layers,
                              identity=(b > 0),

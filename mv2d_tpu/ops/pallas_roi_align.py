@@ -504,22 +504,34 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
     if overflow_bucket > 0:
         # extreme-aspect rois (> 61 cells at their routed level) sit at the
         # END of the sorted order - exact XLA gather for up to K of them.
-        # Gated on any() so overflow-free steps skip the band gathers
+        # Tiered no-op / small / full bucket keyed on the actual count (the
+        # band gathers cost ~4.5 MB of slab reads per SLOT, so bucket size
+        # is the whole cost and overflow rois are rare)
         K = min(overflow_bucket, R)
-        sel = order[R - K:]
-        ov = pass_s[R - K:] == len(PASS_SIZES)
+        n_over = (pass_s == len(PASS_SIZES)).sum()
 
-        def add_overflow(buf):
-            # gathers from the SAME stacked buffer the kernel reads (a
-            # separate flattened table copy costs ~2 ms at full size)
-            o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
-                                              Ws_c, strides, rois_s[R - K:],
-                                              lvl_s[R - K:], view_s[R - K:],
-                                              output_size, sampling_ratio)
-            o_small = o_small * ov[:, None, None, None]
-            return buf.at[sel].add(o_small.astype(buf.dtype))
+        def make_branch(k):
+            def add_overflow(buf):
+                sel = order[R - k:]
+                ov = pass_s[R - k:] == len(PASS_SIZES)
+                # gathers from the SAME stacked buffer the kernel reads (a
+                # separate flattened table copy costs ~2 ms at full size)
+                o_small = _overflow_align_stacked(
+                    stacked, row_offs, Hs_c, Ws_c, strides, rois_s[R - k:],
+                    lvl_s[R - k:], view_s[R - k:], output_size,
+                    sampling_ratio)
+                o_small = o_small * ov[:, None, None, None]
+                return buf.at[sel].add(o_small.astype(buf.dtype))
+            return add_overflow
 
-        out = jax.lax.cond(ov.any(), add_overflow, lambda b: b, out)
+        K1 = min(32, K)
+        branches = [lambda b: b, make_branch(K1)]
+        if K > K1:
+            branches.append(make_branch(K))
+        idx = jnp.minimum((n_over > 0).astype(jnp.int32)
+                          + (n_over > K1).astype(jnp.int32),
+                          len(branches) - 1)
+        out = jax.lax.switch(idx, branches, out)
     return out
 
 
@@ -941,34 +953,50 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         K = min(overflow_bucket, R)
         over = pass_id == npass
 
-        # the band-dense gathers + einsums + the argsort are ~1 GB of
-        # traffic at full size; overflow rois are RARE (extreme aspect),
-        # so the whole branch is gated on over.any() - a frame with no
-        # overflow rois (the common case) pays one reduction, not the
-        # worst-case bucket (under vmap the cond lowers to select and
-        # both branches run - same as the ungated form, no worse)
-        def add_overflow(buf):
-            sel = jnp.argsort(~over, stable=True)[:K]
-            vi = (sel // P).astype(jnp.int32)
-            # gathers from the SAME stacked slab the kernel reads - a
-            # separate flattened table copy costs ~2 ms at full size
-            o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
-                                              Ws_c, strides, flat[sel],
-                                              lvl[sel], vi, O, S)
-            o_small = o_small * over[sel][:, None, None, None]
-            if compacted:
-                # scatter into the compacted slot of each overflow roi
-                slot = vi * Pp + pos.reshape(-1)[sel]
-                return buf.reshape(V * Pp, O, O, C).at[slot].add(
-                    o_small.astype(buf.dtype)).reshape(V, Pp, O, O, C)
-            return buf.reshape(R, O, O, C).at[sel].add(
-                o_small.astype(buf.dtype)).reshape(V, P, O, O, C)
+        # the band-dense gathers + einsums are ~4.5 MB of slab reads PER
+        # SLOT (wide + tall paths both computed), so the bucket size is
+        # the whole cost: overflow rois are RARE (extreme aspect), and a
+        # lax.switch keyed on the ACTUAL count picks no-op / small-bucket
+        # / full-bucket - a typical frame pays K=32 slots, not 256 (the
+        # ungated K=256 branch measured ~2 ms/step).  Compaction is a
+        # cumsum-scatter, not an R-element argsort (same first-K-by-index
+        # selection; the argsort cost ~1 ms at R=12k)
+        cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
+        n_over = cnt[-1] + 1
 
+        def make_branch(k):
+            def add_overflow(buf):
+                slot = jnp.where(over & (cnt < k), cnt, k)
+                sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+                    jnp.arange(R, dtype=jnp.int32))[:k]
+                valid = jnp.arange(k) < n_over
+                vi = (sel // P).astype(jnp.int32)
+                # gathers from the SAME stacked slab the kernel reads - a
+                # separate flattened table copy costs ~2 ms at full size
+                o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
+                                                  Ws_c, strides, flat[sel],
+                                                  lvl[sel], vi, O, S)
+                o_small = o_small * valid[:, None, None, None]
+                if compacted:
+                    # scatter into the compacted slot of each overflow roi
+                    sl = vi * Pp + pos.reshape(-1)[sel]
+                    return buf.reshape(V * Pp, O, O, C).at[sl].add(
+                        o_small.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+                return buf.reshape(R, O, O, C).at[sel].add(
+                    o_small.astype(buf.dtype)).reshape(V, P, O, O, C)
+            return add_overflow
+
+        K1 = min(32, K)
+        branches = [lambda b: b, make_branch(K1)]
+        if K > K1:
+            branches.append(make_branch(K))
+        idx = jnp.minimum((n_over > 0).astype(jnp.int32)
+                          + (n_over > K1).astype(jnp.int32),
+                          len(branches) - 1)
         if compacted:
-            out_s = jax.lax.cond(over.any(), add_overflow,
-                                 lambda b: b, out_s)
+            out_s = jax.lax.switch(idx, branches, out_s)
         else:
-            out = jax.lax.cond(over.any(), add_overflow, lambda b: b, out)
+            out = jax.lax.switch(idx, branches, out)
     if compacted:
         return out_s, pos.astype(jnp.float32)
     return out
@@ -1251,28 +1279,47 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
                       rois_per_step)
         over = g['pass_id'] == len(PASS_SIZES)
-        K = min(overflow_bucket, V * P)
+        R = V * P
+        K = min(overflow_bucket, R)
+        # tiered no-op / small / full bucket keyed on the actual overflow
+        # count + cumsum-scatter compaction, as the eval path above; the
+        # switch's VJP differentiates only the taken branch, so an
+        # overflow-free step skips the slab assembly fwd AND bwd
+        cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
+        n_over = cnt[-1] + 1
 
-        def add_overflow(buf):
-            sel = jnp.argsort(~over, stable=True)[:K]
-            vi = (sel // P).astype(jnp.int32)
-            parts = [jnp.pad(f, ((0, 0), (0, 0),
-                                 (0, g['Wmax'] - f.shape[2]), (0, 0)))
-                     for f in feats]
-            stk = jnp.concatenate(parts, axis=1)
-            if stk.shape[1] < g['Hslab']:
-                stk = jnp.pad(stk, ((0, 0),
-                                    (0, g['Hslab'] - stk.shape[1]),
-                                    (0, 0), (0, 0)))
-            o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
-                                        g['Ws_c'], strides,
-                                        rois.reshape(-1, 4)[sel],
-                                        g['lvl'][sel], vi, O,
-                                        sampling_ratio)
-            o = o * over[sel][:, None, None, None]
-            slot = vi * Pp + g['pos'].reshape(-1)[sel]
-            return buf.reshape(V * Pp, O, O, C).at[slot].add(
-                o.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+        def make_branch(k):
+            def add_overflow(buf):
+                slot = jnp.where(over & (cnt < k), cnt, k)
+                sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+                    jnp.arange(R, dtype=jnp.int32))[:k]
+                valid = jnp.arange(k) < n_over
+                vi = (sel // P).astype(jnp.int32)
+                parts = [jnp.pad(f, ((0, 0), (0, 0),
+                                     (0, g['Wmax'] - f.shape[2]), (0, 0)))
+                         for f in feats]
+                stk = jnp.concatenate(parts, axis=1)
+                if stk.shape[1] < g['Hslab']:
+                    stk = jnp.pad(stk, ((0, 0),
+                                        (0, g['Hslab'] - stk.shape[1]),
+                                        (0, 0), (0, 0)))
+                o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
+                                            g['Ws_c'], strides,
+                                            rois.reshape(-1, 4)[sel],
+                                            g['lvl'][sel], vi, O,
+                                            sampling_ratio)
+                o = o * valid[:, None, None, None]
+                sl = vi * Pp + g['pos'].reshape(-1)[sel]
+                return buf.reshape(V * Pp, O, O, C).at[sl].add(
+                    o.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+            return add_overflow
 
-        out_s = jax.lax.cond(over.any(), add_overflow, lambda b: b, out_s)
+        K1 = min(32, K)
+        branches = [lambda b: b, make_branch(K1)]
+        if K > K1:
+            branches.append(make_branch(K))
+        idx = jnp.minimum((n_over > 0).astype(jnp.int32)
+                          + (n_over > K1).astype(jnp.int32),
+                          len(branches) - 1)
+        out_s = jax.lax.switch(idx, branches, out_s)
     return out_s, pos

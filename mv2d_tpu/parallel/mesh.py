@@ -62,6 +62,17 @@ def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data',
     reduce_mean of num_pos across GPUs, clamped at 1): compute_losses
     returns them as raw (sum, num_pos) pairs and the global mean factor is
     applied here — E[l]/E[n], not E[l/n].
+
+    Per-scene work runs as a sequential lax.map over each device's LOCAL
+    shard (shard_map) rather than a batched vmap: the scan body is the
+    same batch-1 program regardless of mesh size, so per-scene numerics
+    are BIT-IDENTICAL between dp1 and dpN and the only cross-sharding
+    difference is the order of the final grad/metric summations (~1 ulp).
+    A batched vmap lowers differently at different local batch sizes
+    (conv algorithms/fusions pick per-shape), which made dp8-vs-dp1 drift
+    up to ~0.5% through matching-tie flips; it also buys nothing here —
+    scenes are 12-view programs with no useful cross-scene fusion, and
+    the production recipe runs one scene per device anyway.
     """
     from ..train.train_step import TrainState, compute_losses
 
@@ -71,11 +82,27 @@ def make_dp_train_step(model, tx, mesh: Mesh, axis: str = 'data',
         def loss_fn(params):
             variables = {'params': params, 'constants': state.constants}
             rngs = jax.random.split(rng, B)
-            totals, metrics, deferred = jax.vmap(
-                lambda b, r: compute_losses(model, variables, b, r,
-                                            mixed_precision=mixed_precision,
-                                            sync_bbox_norm=True))(
-                batch, rngs)
+
+            def one(b, r):
+                return compute_losses(model, variables, b, r,
+                                      mixed_precision=mixed_precision,
+                                      sync_bbox_norm=True)
+
+            def local(batch_l, rngs_l):
+                if rngs_l.shape[0] == 1:
+                    # one scene per device (the production recipe): a
+                    # direct call, not a trip-1 scan - compiles much
+                    # faster and lowers bit-identically to the scan body
+                    # (measured on the CPU backend)
+                    out = one(jax.tree.map(lambda x: x[0], batch_l),
+                              rngs_l[0])
+                    return jax.tree.map(lambda x: x[None], out)
+                return jax.lax.map(lambda a: one(*a), (batch_l, rngs_l))
+
+            totals, metrics, deferred = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(axis)), out_specs=P(axis),
+                check_vma=False)(batch, rngs)
             total = totals.mean()
             metrics = jax.tree.map(jnp.mean, metrics)
             for k, (s, f) in deferred.items():

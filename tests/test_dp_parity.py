@@ -98,20 +98,18 @@ def test_dp8_matches_dp1(setup):
     sgd = optax.sgd(lr)
     st8, m8 = _run(model, variables, sgd, batch, 8)
     st1, m1 = _run(model, variables, sgd, batch, 1)
-    # tolerance note: different shardings lower to different fusions;
-    # tiny f32 differences flip discrete tie-breaks (top-k / NMS / JV
-    # matching on an untrained model) which discretely changes matching
-    # targets, so gradients are NOT elementwise-reproducible across
-    # shardings (observed up to ~20% on single elements, ~0.5% on a
-    # per-layer loss metric from a single JV tie flip).  The failure
-    # modes this test guards - missing grad all-reduce mean (8x norms),
-    # mis-sharded batches (uncorrelated grads), normalizer bugs
-    # (wholesale per-leaf rescales - the nearest wrong semantics E[l/n]
-    # sits 7-11% away, measured; exact semantics pinned by
-    # test_synced_bbox_normalizer_semantics) - all destroy per-leaf
-    # direction or scale, so compare those.
+    # tolerance note: the DP step runs per-scene work as a sequential
+    # lax.map over each device's local shard (parallel/mesh.py), so the
+    # per-scene program - and therefore every discrete tie-break (top-k /
+    # NMS / JV matching) - is BIT-IDENTICAL between dp1 and dp8.  The only
+    # cross-sharding difference left is the ORDER of the final cross-scene
+    # summations (sequential scan accumulation on dp1 vs psum tree on
+    # dp8), ~1 ulp per reduction.  Near-bit bounds make every guarded
+    # failure mode (missing grad all-reduce: 8x norms; mis-sharded batch:
+    # uncorrelated grads; normalizer bugs: the nearest wrong semantics
+    # E[l/n] sits 7-11% away) fail by orders of magnitude.
     for k in m1:
-        np.testing.assert_allclose(m8[k], m1[k], rtol=2e-2, atol=1e-5,
+        np.testing.assert_allclose(m8[k], m1[k], rtol=1e-4, atol=1e-7,
                                    err_msg=k)
     p0 = jax.tree.leaves(variables['params'])
     flat8 = jax.tree.leaves(st8.params)
@@ -126,26 +124,18 @@ def test_dp8_matches_dp1(setup):
         assert min(n8, n1) > 0, 'gradient present in one sharding only'
         all8.append(g8)
         all1.append(g1)
-        if g8.size < 16384:
-            # small/mid leaves swing with single matching-tie flips
-            # (query_generator.shared_fc measured cos 0.937 dp8-vs-dp1
-            # from one flipped proposal on the untrained model); they
-            # are covered by the global-vector check below
-            continue
-        # large leaves average the tie noise out; a missing allreduce
-        # (8x norms), mis-sharding (uncorrelated) or branch rescale
-        # still fails decisively
+        # every leaf, not just large ones: per-scene grads are
+        # bit-identical, so only summation-order rounding separates the
+        # shardings
         cos = float(g8 @ g1 / (n8 * n1))
-        assert cos > 0.98, (cos, a.shape)
+        assert cos > 1 - 1e-6, (cos, a.shape)
         ratio = n8 / n1
-        assert 0.8 < ratio < 1.25, (ratio, a.shape)
-    # global gradient vector: dominated by the large backbone/head leaves,
-    # insensitive to tie flips - hold it to tight bounds
+        assert 1 - 1e-4 < ratio < 1 + 1e-4, (ratio, a.shape)
     g8 = np.concatenate(all8)
     g1 = np.concatenate(all1)
     n8, n1 = np.linalg.norm(g8), np.linalg.norm(g1)
-    assert float(g8 @ g1 / (n8 * n1)) > 0.995
-    assert 0.95 < n8 / n1 < 1.05
+    assert float(g8 @ g1 / (n8 * n1)) > 1 - 1e-6
+    assert 1 - 1e-4 < n8 / n1 < 1 + 1e-4
 
 
 def test_synced_bbox_normalizer_semantics(setup):
@@ -155,24 +145,28 @@ def test_synced_bbox_normalizer_semantics(setup):
     step = make_dp_train_step(model, tx, mesh, mixed_precision=False)
     _, metrics = step(state, batch, jax.random.PRNGKey(7))
 
-    # per-scene raw sums + factors straight from compute_losses (f32;
-    # small vmap-vs-single numeric differences remain, hence the rtol)
+    # per-scene raw sums + factors straight from compute_losses (jitted:
+    # the standalone jit of the per-scene body compiles bit-identically to
+    # the DP step's lax.map body - measured on the CPU backend)
     rngs = jax.random.split(jax.random.PRNGKey(7), len(scenes))
+    one = jax.jit(lambda s, r: compute_losses(model, variables, s, r,
+                                              mixed_precision=False,
+                                              sync_bbox_norm=True)[2])
     sums, factors = [], []
     for s, r in zip(scenes, rngs):
-        _, _, deferred = compute_losses(model, variables, s, r,
-                                        mixed_precision=False,
-                                        sync_bbox_norm=True)
+        deferred = one(s, r)
         sums.append(float(deferred['l0.loss_bbox'][0]))
         factors.append(float(deferred['l0.loss_bbox'][1]))
     want = np.mean(sums) / max(np.mean(factors), 1.0)
     per_scene = np.mean([s / max(f, 1.0) for s, f in zip(sums, factors)])
     got = float(metrics['l0.loss_bbox'])
-    # rtol covers vmap-vs-single fusion differences flipping a JV
-    # matching tie on the untrained model (measured drift up to ~0.5%);
-    # the wrong semantics E[l/n] sits 7-11% away (asserted below), so
-    # the test stays discriminative
-    np.testing.assert_allclose(got, want, rtol=2e-2)
+    # the step computes its forward UNDER value_and_grad (residual saving
+    # changes fusion, which can flip a JV matching tie on the untrained
+    # model - measured 3.6e-3 here), while `one` is a pure forward;
+    # cross-SHARDING bit-parity is pinned by test_dp8_matches_dp1 (same
+    # program on both sides).  This test pins the normalizer SEMANTICS:
+    # the wrong form E[l/n] sits 7-11% away, so 1e-2 stays discriminative
+    np.testing.assert_allclose(got, want, rtol=1e-2)
     # it must differ CLEARLY from the per-scene-normalized mean (E[l/n])
     # and the step's value must be decisively closer to E[l]/E[n]
     assert abs(want - per_scene) / max(want, 1e-9) > 5e-2

@@ -278,3 +278,29 @@ def test_s2d_stem_exact():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool_3x3_s2_exact():
+    # separable slice-max pool == nn.max_pool reduce-window, odd and even
+    from flax import linen as nn
+    from mv2d_tpu.nn.layers import max_pool_3x3_s2
+    rng = np.random.default_rng(3)
+    for shape in [(2, 64, 96, 8), (1, 17, 23, 8), (3, 8, 8, 4)]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        out = max_pool_3x3_s2(x)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_upsample_nearest_2x_exact():
+    # single broadcast+reshape upsample == stacked jnp.repeats, incl. the
+    # odd-target crop
+    from mv2d_tpu.nn.fpn import _upsample_nearest_2x
+    rng = np.random.default_rng(4)
+    for h, w, th, tw in [(8, 12, 16, 24), (9, 11, 17, 21)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 5)), jnp.float32)
+        like = jnp.zeros((2, th, tw, 5))
+        ref = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)[:, :th, :tw]
+        out = _upsample_nearest_2x(x, like)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

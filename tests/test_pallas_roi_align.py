@@ -296,3 +296,29 @@ def test_pallas_align_views_train_adaptive_grad(rng):
     for a, b in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_align_views_overflow_full_bucket(rng):
+    """More than 32 overflow rois forces the FULL-bucket switch branch
+    (the tiered overflow path: no-op / K=32 / K=overflow_bucket)."""
+    from mv2d_tpu.ops.pallas_roi_align import pallas_roi_align_views
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.normal(size=(2, 256 // s, 384 // s, 8)),
+                         dtype=jnp.float32) for s in strides]
+    V, P = 2, 48
+    xy = rng.uniform(0, 250, (V, P, 2))
+    wh = rng.uniform(4, 100, (V, P, 2))
+    rois = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    # 40 extreme-aspect rois (> 61 cells at the routed level) - more than
+    # the 32-slot small tier
+    for i in range(20):
+        y = 5 * i
+        rois[0, i] = [0., y, 380., y + 10.]
+        rois[1, i] = [5 * i, 0., 5 * i + 10., 250.]
+    rois = jnp.asarray(rois)
+    vi = jnp.repeat(jnp.arange(V), P)
+    want = multilevel_roi_align(feats, rois.reshape(V * P, 4), vi, strides)
+    got = pallas_roi_align_views(feats, rois, strides, rois_per_step=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)

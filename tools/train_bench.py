@@ -41,6 +41,10 @@ def main():
                         'AUTO-layout pre-placement)')
     p.add_argument('--trace', metavar='DIR',
                    help='capture an xplane device trace of 3 steps into DIR')
+    p.add_argument('--flops', action='store_true',
+                   help='print XLA cost analysis of the compiled train '
+                        'step (value_and_grad FLOPs) and the roofline '
+                        'ms/scene at v5e bf16 peak, then exit')
     args = p.parse_args()
 
     import jax
@@ -106,6 +110,27 @@ def main():
     state = init_train_state(model, variables, tx)
     step_fn = make_train_step(model, tx)
     step = jax.jit(step_fn, donate_argnums=(0,))
+    if args.flops:
+        # train-step roofline: XLA cost analysis of the COMPILED
+        # value_and_grad step (forward + backward + AdamW; frozen-stage /
+        # no-grad-detect-pass DCE already applied by XLA).  Excludes the
+        # opaque Pallas custom calls (RoIAlign, DCN sampling, attention),
+        # so the true FLOP count is higher and the printed roofline is a
+        # LOWER bound on the achievable ms/scene.
+        compiled = step.lower(state, batch, jax.random.PRNGKey(5)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca.get('flops', float('nan'))
+        bytes_ = ca.get('bytes accessed', float('nan'))
+        peak = 197e12        # v5e bf16 TFLOP/s
+        print(f'train-step flops:  {flops / 1e9:.1f} GFLOP / scene')
+        print(f'bytes accessed:    {bytes_ / 1e9:.2f} GB / scene '
+              f'(per-op operand sum, pre-fusion)')
+        print(f'roofline @ {peak / 1e12:.0f} TF/s bf16: '
+              f'{flops / peak * 1e3:.1f} ms/scene '
+              f'({peak / flops:.2f} scenes/sec/chip at 100% MXU)')
+        return
     if not args.no_auto_layout:
         # compile with AUTO input layouts and pre-place state/batch in the
         # executable's preferred layouts (same trick as bench.py: avoids
