@@ -2,27 +2,41 @@
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
-def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 stride-2 pad-1 max pool as two 1-D slice-max passes.
+def max_pool_3x3_s2(x: jnp.ndarray,
+                    fast_inference: bool = False) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 max pool, exactly
+    nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)]*2).
 
-    Exactly nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)]*2);
-    XLA lowers that reduce-window directly (1.6 ms/step on the stem's
-    [12, 256, 704, 64] map in the eval trace) while the separable
-    slice-max form fuses into two bandwidth-bound elementwise passes.
+    Lowering is PATH-dependent (A/B in docs/PERF.md round 4):
+      * inference: XLA reduce-window (1.6 ms on the stem map; the
+        separable form's pad/strided-slice fusions cost ~6.5 ms under the
+        s2d-input layout regime),
+      * training: two 1-D slice-max passes - reduce-window's backward is
+        a SelectAndScatter, while the slice-max form differentiates into
+        cheap elementwise selects (train step 317.6 -> ~296 ms/scene).
+    MV2D_MAXPOOL=rw|sep forces one lowering for A/B.
     """
-    V, H, W, C = x.shape
-    neg = jnp.finfo(x.dtype).min
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
-    Ho, Wo = (H + 1) // 2, (W + 1) // 2
-    r = [xp[:, i:i + 2 * Ho:2] for i in range(3)]
-    h = jnp.maximum(jnp.maximum(r[0], r[1]), r[2])
-    c = [h[:, :, j:j + 2 * Wo:2] for j in range(3)]
-    return jnp.maximum(jnp.maximum(c[0], c[1]), c[2])
+    mode = os.environ.get('MV2D_MAXPOOL')
+    use_rw = fast_inference if mode not in ('rw', 'sep') else mode == 'rw'
+    if not use_rw:
+        V, H, W, C = x.shape
+        neg = jnp.finfo(x.dtype).min
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=neg)
+        Ho, Wo = (H + 1) // 2, (W + 1) // 2
+        r = [xp[:, i:i + 2 * Ho:2] for i in range(3)]
+        h = jnp.maximum(jnp.maximum(r[0], r[1]), r[2])
+        c = [h[:, :, j:j + 2 * Wo:2] for j in range(3)]
+        return jnp.maximum(jnp.maximum(c[0], c[1]), c[2])
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)])
 
 
 def conv1x1_dot(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,

@@ -552,17 +552,45 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
 
 def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                  bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
-                 stacked_ref, out_ref, slab, sem, *,
-                 nr: int, spv: int, sizes, O: int, S: int):
+                 *rest, nr: int, spv: int, sizes, O: int, S: int,
+                 lvl_geo=None):
+    """lvl_geo = static ((row_off, Hl, Wl8) per level): the slab is
+    assembled IN-KERNEL with one DMA per level per view instead of reading
+    a pre-concatenated [V, Hslab, Wmax, C] tensor - the XLA pad+concat
+    slab build cost ~1.5 ms/step in the eval trace.  Column/row tails the
+    DMAs never touch are zeroed ONCE at the first grid step (their hat
+    weights are exactly zero - see _hat_axes border tests - so any finite
+    value works, but uninitialized VMEM could be NaN)."""
+    nl = len(lvl_geo)
+    feat_refs = rest[:nl]
+    out_ref, slab, sems = rest[nl], rest[nl + 1], rest[nl + 2]
     v = pl.program_id(0)
     i = pl.program_id(1)
     base = (v * spv + i) * nr
+    Hslab, Wmax = slab.shape[0], slab.shape[1]
+
+    @pl.when((v == 0) & (i == 0))
+    def _():
+        for off, Hl, Wl8 in lvl_geo:
+            if Wl8 < Wmax:
+                slab[off:off + Hl, Wl8:Wmax, :] = jnp.zeros(
+                    (Hl, Wmax - Wl8, slab.shape[2]), slab.dtype)
+        end = lvl_geo[-1][0] + lvl_geo[-1][1]
+        if end < Hslab:
+            slab[end:Hslab, :, :] = jnp.zeros(
+                (Hslab - end, Wmax, slab.shape[2]), slab.dtype)
 
     @pl.when(i == 0)
     def _():
-        cp = pltpu.make_async_copy(stacked_ref.at[v], slab, sem)
-        cp.start()
-        cp.wait()
+        cps = []
+        for l, (off, Hl, Wl8) in enumerate(lvl_geo):
+            cp = pltpu.make_async_copy(
+                feat_refs[l].at[v],
+                slab.at[pl.ds(off, Hl), pl.ds(0, Wl8)], sems.at[l])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
 
     sp = step_pass_ref[v * spv + i]
     # sample-mean FOLDED into the hat weights (linear, so exact): By[oy, p]
@@ -620,6 +648,106 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                 preferred_element_type=jnp.float32)       # [nr, Ox, Oy*C]
             full = full.reshape(nr, O, O, C).transpose(0, 2, 1, 3)
             out_ref[0] = full.astype(out_ref.dtype)
+
+
+def _kernel_slab_v3(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
+                    x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
+                    scat_ref, *rest, nr: int, spv: int, sizes, O: int,
+                    S: int, lvl_geo):
+    """Flat-2D batched-hat body: ONE set of ~30 [nr*8, cells] VPU ops per
+    step instead of nr unrolled [O, cells] sets (v1) or [nrc, O, cells]
+    3D broadcasts (v2, which lost to its own tiny-sublane tiling).
+
+    The per-RoI scalars are expanded to row vectors with a one-hot MXU
+    dot (E [nr*8, nr] @ scat [nr, 11] - exact: each row is 1.0 * v), the
+    output-bin index rides rows as row % 8, and the hat build runs on
+    fully-tiled [64, cells] 2D shapes.  Output bins are padded 7 -> 8;
+    rows/cols with bin index 7 are garbage and sliced off at the end
+    (their hat weights never touch kept values).  Slab assembly = in-kernel
+    per-level DMAs as _kernel_slab."""
+    nl = len(lvl_geo)
+    feat_refs = rest[:nl]
+    out_ref, slab, sems = rest[nl], rest[nl + 1], rest[nl + 2]
+    v = pl.program_id(0)
+    i = pl.program_id(1)
+    base = (v * spv + i) * nr
+    Hslab, Wmax = slab.shape[0], slab.shape[1]
+
+    @pl.when((v == 0) & (i == 0))
+    def _():
+        for off, Hl, Wl8 in lvl_geo:
+            if Wl8 < Wmax:
+                slab[off:off + Hl, Wl8:Wmax, :] = jnp.zeros(
+                    (Hl, Wmax - Wl8, slab.shape[2]), slab.dtype)
+        end = lvl_geo[-1][0] + lvl_geo[-1][1]
+        if end < Hslab:
+            slab[end:Hslab, :, :] = jnp.zeros(
+                (Hslab - end, Wmax, slab.shape[2]), slab.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        cps = []
+        for l, (off, Hl, Wl8) in enumerate(lvl_geo):
+            cp = pltpu.make_async_copy(
+                feat_refs[l].at[v],
+                slab.at[pl.ds(off, Hl), pl.ds(0, Wl8)], sems.at[l])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    sp = step_pass_ref[v * spv + i]
+
+    @pl.when(sp >= len(sizes))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    O8 = 8
+    n8 = nr * O8
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (n8, 1), 0)
+    qio = (rowid % O8).astype(jnp.float32)
+    ezp = (rowid // O8 == jax.lax.broadcasted_iota(
+        jnp.int32, (n8, nr), 1)).astype(jnp.float32)
+    sv = jax.lax.dot_general(ezp, scat_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    def col(k):
+        return sv[:, k:k + 1]                              # [n8, 1]
+
+    act = (col(2) > 0).astype(jnp.float32)
+    for p, ph in enumerate(sizes):
+        pw = ph + 8
+
+        @pl.when(sp == p)
+        def _(ph=ph, pw=pw):
+            cell_y = jax.lax.broadcasted_iota(jnp.int32, (n8, ph),
+                                              1).astype(jnp.float32)
+            cell_x = jax.lax.broadcasted_iota(jnp.int32, (n8, pw),
+                                              1).astype(jnp.float32)
+            by, bx = _hat_axes(col(3), col(4), col(5), col(6), col(7),
+                               col(8), col(9), col(1), qio, cell_y,
+                               cell_x, S, act=act,
+                               smax=_pass_smax(ph, O, S))
+            pats = [slab[pl.ds(row_ref[base + j], ph),
+                         pl.ds(pl.multiple_of(px_ref[base + j], 8),
+                               pw), :] for j in range(nr)]
+            patches = jnp.stack(pats)                     # [nr, ph, pw, C]
+            dt = patches.dtype
+            C = patches.shape[-1]
+            By = by.reshape(nr, O8, ph)
+            Bx = bx.reshape(nr, O8, pw)
+            tmp = jax.lax.dot_general(
+                By.astype(dt), patches.reshape(nr, ph, pw * C),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [nr, 8, pw*C]
+            tmp = tmp.reshape(nr, O8, pw, C).astype(dt)
+            tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, O8 * C)
+            full = jax.lax.dot_general(
+                Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [nr, 8, 8*C]
+            full = full.reshape(nr, O8, O8, C).transpose(0, 2, 1, 3)
+            out_ref[0] = full[:, :O, :O].astype(out_ref.dtype)
 
 
 def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
@@ -890,17 +1018,23 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     row_offs, Hs_c, Ws_c = g['row_offs'], g['Hs_c'], g['Ws_c']
     args, step_pass = g['args'], g['step_pass']
 
-    # ---- stacked per-view slab
-    parts = [jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - f.shape[2]), (0, 0)))
-             for f in feats]
-    stacked = jnp.concatenate(parts, axis=1)
-    if stacked.shape[1] < g['Hslab']:
-        stacked = jnp.pad(stacked, ((0, 0),
-                                    (0, g['Hslab'] - stacked.shape[1]),
-                                    (0, 0), (0, 0)))
-    Hslab = stacked.shape[1]
+    Hslab = g['Hslab']
+
+    def make_stacked():
+        # full [V, Hslab, Wmax, C] slab - only the v2 kernel and the
+        # (gated) overflow branch need it materialized in HBM; the default
+        # kernel assembles its VMEM slab from the per-level tensors
+        parts = [jnp.pad(f, ((0, 0), (0, 0), (0, Wmax - f.shape[2]),
+                             (0, 0)))
+                 for f in feats]
+        stk = jnp.concatenate(parts, axis=1)
+        if stk.shape[1] < Hslab:
+            stk = jnp.pad(stk, ((0, 0), (0, Hslab - stk.shape[1]),
+                                (0, 0), (0, 0)))
+        return stk
 
     if v2:
+        stacked = make_stacked()
         scat_r = g['scat_all'].reshape(V * spv, nr, 11)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=11,
@@ -925,25 +1059,50 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
                 vmem_limit_bytes=120 * 1024 * 1024),
         )(step_pass, *args, scat_r, stacked)
     else:
+        # per-level inputs, W padded to sublane multiples; the kernel
+        # DMA-assembles the VMEM slab (no HBM slab materialization)
+        fpad, lvl_geo = [], []
+        for f, ro in zip(feats, row_offs):
+            w8 = -(-f.shape[2] // 8) * 8
+            fpad.append(jnp.pad(f, ((0, 0), (0, 0), (0, w8 - f.shape[2]),
+                                    (0, 0)))
+                        if w8 > f.shape[2] else f)
+            lvl_geo.append((ro, f.shape[1], w8))
+        use_v3 = os.environ.get('MV2D_ALIGN_V3', '1') == '1'
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(feats)
+        inputs = list(fpad)
+        if use_v3:
+            kern = functools.partial(_kernel_slab_v3, nr=nr, spv=spv,
+                                     sizes=PASS_SIZES, O=O, S=S,
+                                     lvl_geo=tuple(lvl_geo))
+            in_specs = [pl.BlockSpec((1, nr, 11),
+                                     lambda v, i, *_: (v * spv + i, 0, 0),
+                                     memory_space=pltpu.VMEM)] + in_specs
+            inputs = [g['scat_all'].reshape(V * spv, nr, 11)] + inputs
+        else:
+            kern = functools.partial(_kernel_slab, nr=nr, spv=spv,
+                                     sizes=PASS_SIZES, O=O, S=S,
+                                     lvl_geo=tuple(lvl_geo))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=11,
             grid=(V, spv),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, nr, O, O, C),
                                    lambda v, i, *_: (v, i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), stacked.dtype),
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=[pltpu.VMEM((Hslab, Wmax, C), feats[0].dtype),
+                            pltpu.SemaphoreType.DMA((len(feats),))],
         )
         out_s = pl.pallas_call(
-            functools.partial(_kernel_slab, nr=nr, spv=spv, sizes=PASS_SIZES,
-                              O=O, S=S),
+            kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
+            out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C),
+                                           feats[0].dtype),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024),
-        )(step_pass, *args, stacked)
+                vmem_limit_bytes=120 * 1024 * 1024,
+                dimension_semantics=('arbitrary', 'arbitrary')),
+        )(step_pass, *args, *inputs)
     out_s = out_s.reshape(V, Pp, O, O, C)
     if not compacted:
         out = jnp.take_along_axis(out_s, pos[:, :, None, None, None], 1)
@@ -971,10 +1130,12 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
                     jnp.arange(R, dtype=jnp.int32))[:k]
                 valid = jnp.arange(k) < n_over
                 vi = (sel // P).astype(jnp.int32)
-                # gathers from the SAME stacked slab the kernel reads - a
-                # separate flattened table copy costs ~2 ms at full size
-                o_small = _overflow_align_stacked(stacked, row_offs, Hs_c,
-                                                  Ws_c, strides, flat[sel],
+                # the stacked slab is built INSIDE the taken branch only -
+                # the common no-overflow case never pays the ~1.5 ms
+                # pad+concat (the kernel assembles its own VMEM slab)
+                o_small = _overflow_align_stacked(make_stacked(), row_offs,
+                                                  Hs_c, Ws_c, strides,
+                                                  flat[sel],
                                                   lvl[sel], vi, O, S)
                 o_small = o_small * valid[:, None, None, None]
                 if compacted:

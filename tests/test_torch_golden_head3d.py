@@ -474,7 +474,31 @@ def _np_roi_align_concat(feat_vchw, box):
                         1.0 / STRIDE, out=ROI, samp=0)
 
 
-def _build(key_mode):
+G_B = 6          # DN test: GT bucket (cfg.max_gt)
+N_GT = 4         # valid GT boxes (< G_B exercises DN slot padding)
+S_DN = 3         # denoise groups (cfg.denoise_scalar)
+DN_SPLIT = 0.6
+DN_SCALE = 1.25
+
+
+def _make_gt(rng):
+    """Padded GroundTruth3D bucket: N_GT valid bottom-center boxes."""
+    from mv2d_tpu.models.mv2d import GroundTruth3D
+    boxes = np.zeros((G_B, 9), np.float32)
+    boxes[:N_GT, 0:2] = rng.uniform(-30, 30, (N_GT, 2))
+    boxes[:N_GT, 2] = rng.uniform(-2.0, 0.0, N_GT)
+    boxes[:N_GT, 3:6] = rng.uniform(0.8, 4.0, (N_GT, 3))
+    boxes[:N_GT, 6] = rng.uniform(-3.0, 3.0, N_GT)
+    boxes[:N_GT, 7:9] = rng.uniform(-2.0, 2.0, (N_GT, 2))
+    labels = np.zeros(G_B, np.int32)
+    labels[:N_GT] = rng.integers(0, NUM_CLASSES, N_GT)
+    valid = np.arange(G_B) < N_GT
+    return GroundTruth3D(boxes=jnp.asarray(boxes),
+                         labels=jnp.asarray(labels),
+                         valid=jnp.asarray(valid))
+
+
+def _build(key_mode, use_dn=False):
     rng = np.random.default_rng(11)
     K, E = _rig()
     lidar2img = (K @ np.transpose(E, (0, 2, 1)))
@@ -528,7 +552,9 @@ def _build(key_mode):
         proposal_train=DetectionProposalCfg(max_per_img=P),
         proposal_test=DetectionProposalCfg(max_per_img=P),
         num_decoder_layers=LAYERS, num_heads=HEADS,
-        feedforward_channels=FF, dropout=0.0, use_denoise=False,
+        feedforward_channels=FF, dropout=0.0, use_denoise=use_dn,
+        denoise_scalar=S_DN, denoise_noise_scale=DN_SCALE,
+        denoise_noise_trans=0.0, denoise_split=DN_SPLIT, max_gt=G_B,
         max_num=MAX_NUM, max_per_scene=MAX_NUM)
     model = MV2D(cfg)
     cam = prepare_camera_params(K, E)
@@ -536,10 +562,13 @@ def _build(key_mode):
                           scores=jnp.asarray(valid, jnp.float32),
                           labels=jnp.zeros((V, P), jnp.int32),
                           valid=jnp.asarray(valid))
+    gt = _make_gt(np.random.default_rng(23)) if use_dn else None
+    dn_rng = jax.random.PRNGKey(7)
 
     def head_fwd(mdl, p4_, cam_, shapes_):
         pos = mdl.pe(p4_, cam_.img2lidar, shapes_, mdl.cfg.image_size)
-        out = mdl.roi_head_forward(p4_, pos, proposals, cam_, shapes_)
+        out = mdl.roi_head_forward(p4_, pos, proposals, cam_, shapes_,
+                                   gt=gt, dn_rng=dn_rng if use_dn else None)
         return pos, out
 
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(p4), cam,
@@ -557,7 +586,7 @@ def _build(key_mode):
                 img_shapes=img_shapes, boxes=boxes, valid=valid,
                 tpe=tpe, tqg=tqg, thead=thead, cfg=cfg, model=model,
                 variables=variables, cam=cam, proposals=proposals,
-                pos_j=pos_j, out_j=out_j)
+                pos_j=pos_j, out_j=out_j, gt=gt, dn_rng=dn_rng)
 
 
 ERRS = {}
@@ -787,6 +816,231 @@ def test_composed_head_roi_mode():
     box_j = np.asarray(out_j.all_bbox_preds)[:, vmask]
     assert _err('roi_mode_cls', cls_j, cls_t.numpy()) < 2e-2
     assert _err('roi_mode_box', box_j, box_t.numpy()) < 5e-2
+
+
+def t_prepare_for_dn(gt_boxes9, gt_labels, rand, rnum):
+    """ref prepare_for_dn (mv2d_s_head.py:39-120) with the noise draw
+    INJECTED (rand [S_DN*N_GT, 3] in (-1, 1), group-major) so the torch
+    oracle and the JAX `_prepare_dn` apply identical noise.  Returns
+    (noisy centers [pad, 3] in [0,1], known_labels [pad], known_bboxs
+    [pad, 9] gravity, attn_mask [pad+rnum, pad+rnum] True=blocked)."""
+    gravity = gt_boxes9.clone()
+    gravity[:, 2] = gravity[:, 2] + gt_boxes9[:, 5] / 2
+    known_labels = gt_labels.repeat(S_DN).long()
+    known_bboxs = gravity.repeat(S_DN, 1)
+    center = known_bboxs[:, :3].clone()
+    scale = known_bboxs[:, 3:6].clone()
+    diff = scale / 2 + 0.0                       # denoise_noise_trans = 0
+    center = center + rand * diff * DN_SCALE
+    pr = PC_RANGE
+    for a in range(3):
+        center[:, a] = (center[:, a] - pr[a]) / (pr[3 + a] - pr[a])
+    eps = 1e-4
+    center = center.clamp(min=eps, max=1 - eps)
+    neg = rand.norm(2, dim=1) > DN_SPLIT
+    known_labels[neg] = NUM_CLASSES
+    single_pad = gt_boxes9.shape[0]
+    pad = single_pad * S_DN
+    tgt = pad + rnum
+    m = torch.zeros(tgt, tgt, dtype=torch.bool)
+    m[pad:, :pad] = True                          # match cannot see DN
+    for i in range(S_DN):                         # DN groups are blinded
+        if i == S_DN - 1:
+            m[single_pad * i:single_pad * (i + 1), :single_pad * i] = True
+        else:
+            m[single_pad * i:single_pad * (i + 1),
+              single_pad * (i + 1):pad] = True
+            m[single_pad * i:single_pad * (i + 1), :single_pad * i] = True
+    return center, known_labels, known_bboxs, m
+
+
+def t_normalize_bbox(b):
+    """ref core/bbox/util.py:38-58 (gravity 9-dim -> 10-dim code)."""
+    return torch.cat([b[:, 0:2], b[:, 3:4].log(), b[:, 4:5].log(),
+                      b[:, 2:3], b[:, 5:6].log(),
+                      b[:, 6:7].sin(), b[:, 6:7].cos(), b[:, 7:9]], dim=1)
+
+
+def t_dn_loss_single(cls_scores, bbox_preds, known_bboxs, known_labels,
+                     num_tgt):
+    """ref dn_loss_single (cross_attention_head.py:476-538),
+    neg_bbox_loss=True (MV2D-T recipe ..._ep24.py:45), single GPU
+    (reduce_mean = identity)."""
+    cls_avg = max(num_tgt * 3.14159 / 6 * DN_SPLIT ** 3, 1.0)
+    t = F.one_hot(known_labels.clamp(max=NUM_CLASSES),
+                  NUM_CLASSES + 1)[:, :NUM_CLASSES].float()
+    p = cls_scores.sigmoid()
+    pt = (1 - p) * t + p * (1 - t)
+    fw = (0.25 * t + 0.75 * (1 - t)) * pt.pow(2.0)
+    ce = F.binary_cross_entropy_with_logits(cls_scores, t,
+                                            reduction='none')
+    loss_cls = (ce * fw).sum() / cls_avg * 2.0
+
+    targets = t_normalize_bbox(known_bboxs)
+    cw = torch.tensor([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.5, 1.5, 2.0, 2.0])
+    w = torch.ones_like(bbox_preds) * cw
+    w[:, 6:8] = 0                                 # ref :531 yaw zeroing
+    isnotnan = torch.isfinite(targets).all(dim=-1)
+    loss_bbox = ((bbox_preds[isnotnan] - targets[isnotnan]).abs()
+                 * w[isnotnan]).sum() / max(num_tgt, 1.0) * 0.25
+    return float(loss_cls), float(loss_bbox)
+
+
+def test_composed_head_roi_dn_mode():
+    """MV2D-S head TRAINING path with DN: prepare_for_dn noise/labels,
+    the DN self-attn block mask, the DN-mode decoder (keys = ALL rois'
+    7x7 features, scatter-built cross mask) and dn_loss_single, against
+    the JAX train path under a shared noise draw (ref mv2d_s_head.py:
+    39-120, 158-180; cross_attention_head.py:476-538)."""
+    d = _build('roi', use_dn=True)
+    boxes, valid, cfg = d['boxes'], d['valid'], d['cfg']
+    vmask = valid.reshape(-1)
+    Rv = int(vmask.sum())
+    area = ROI * ROI
+
+    # ---- shared noise draw: exactly what _prepare_dn consumed
+    rand_j = np.asarray(jax.random.uniform(d['dn_rng'], (S_DN * G_B, 3),
+                                           minval=-1.0, maxval=1.0))
+    rand_valid = rand_j.reshape(S_DN, G_B, 3)[:, :N_GT].reshape(-1, 3)
+
+    gt = d['gt']
+    gt_boxes_t = torch.tensor(np.asarray(gt.boxes)[:N_GT])
+    gt_labels_t = torch.tensor(np.asarray(gt.labels)[:N_GT])
+    refs_dn_t, known_labels_t, known_bboxs_t, self_blocked = \
+        t_prepare_for_dn(gt_boxes_t, gt_labels_t,
+                         torch.tensor(rand_valid), Rv)
+
+    # ---- JAX DN prep vs oracle (valid slots; jax slot s*G_B+g)
+    noisy_j, dn_info = d['model']._prepare_dn(gt, d['dn_rng'])
+    dn_valid = np.asarray(dn_info.valid)
+    sl_j = (np.arange(S_DN)[:, None] * G_B + np.arange(N_GT)).reshape(-1)
+    assert dn_valid[sl_j].all() and dn_valid.sum() == len(sl_j)
+    assert _err('dn_refs', np.asarray(noisy_j)[sl_j],
+                refs_dn_t.numpy()) < 1e-5
+    assert (np.asarray(dn_info.known_labels)[sl_j]
+            == known_labels_t.numpy()).all()
+    assert _err('dn_known_boxes', np.asarray(dn_info.known_boxes)[sl_j],
+                known_bboxs_t.numpy()) < 1e-5
+
+    # ---- self-attn mask vs oracle on the valid-slot submatrix
+    allowed_j = np.asarray(d['model']._dn_self_mask(
+        jnp.asarray(vmask), dn_info.valid))
+    rows = np.concatenate([sl_j, cfg.dn_pad + np.where(vmask)[0]])
+    assert (allowed_j[np.ix_(rows, rows)]
+            == ~self_blocked.numpy()).all()
+
+    # ---- torch stage chain (as the roi-mode test) for refs and RoI feats
+    with torch.no_grad():
+        pos_t = d['tpe'](torch.tensor(d['p4']).permute(0, 3, 1, 2),
+                         d['lidar2img'], d['img_shapes'])
+    pos_t = pos_t.permute(0, 2, 3, 1).numpy()
+    cat_t = torch.cat([torch.tensor(d['p4']).permute(0, 3, 1, 2),
+                       torch.tensor(pos_t).permute(0, 3, 1, 2)], dim=1)
+    roi_t = np.zeros((V * P, ROI, ROI, 2 * C), np.float32)
+    for r in range(V * P):
+        if vmask[r]:
+            roi_t[r] = _np_roi_align_concat(cat_t[r // P],
+                                            boxes.reshape(-1, 4)[r])
+    tb = [torch.tensor(boxes[v][valid[v]]) for v in range(V)]
+    Kv_t, Ev_t = t_get_box_params(tb, d['K'], d['E'])
+    rois5 = []
+    for v in range(V):
+        for b in boxes[v][valid[v]]:
+            rois5.append([v, *b])
+    rois5 = torch.tensor(np.asarray(rois5, np.float32))
+    intr_feat = Kv_t.reshape(-1, 16).float() * 0.1
+    wh_t = rois5[:, 3:5] - rois5[:, 1:3]
+    intr_feat[(wh_t < 4).any(1)] = 0
+    with torch.no_grad():
+        refs_t, _ = d['tqg'](
+            torch.tensor(roi_t[vmask][..., :C]).permute(0, 3, 1, 2),
+            Kv_t, Ev_t, intr_feat)
+    refs_t = torch.tensor(
+        ((refs_t.numpy() - np.asarray(PC_RANGE[:3])) /
+         (np.asarray(PC_RANGE[3:]) - np.asarray(PC_RANGE[:3]))
+         ).astype(np.float32))
+
+    # ---- DN-mode decoder: keys = ALL (valid) rois' features; real query
+    # r sees its correlated rois' pixels, DN rows see every roi
+    # (ref mv2d_s_head.py:158-180)
+    matched = t_epipolar(rois5, [int(valid[v].sum()) for v in range(V)],
+                         d['lidar2img'], 'topk')
+    feats_valid = roi_t[vmask]
+    keys_t = torch.tensor(feats_valid[..., :C].reshape(Rv * area, C))
+    kpos_t = torch.tensor(feats_valid[..., C:].reshape(Rv * area, C))
+    pad = S_DN * N_GT
+    Qt = pad + Rv
+    cross_blocked = torch.ones((Qt, Rv * area), dtype=torch.bool)
+    cross_blocked[:pad] = False
+    for r, m in enumerate(matched):
+        for j in m:
+            cross_blocked[pad + r, j * area:(j + 1) * area] = False
+    refs_all_t = torch.cat([refs_dn_t.float(), refs_t], dim=0)
+
+    thead = d['thead']
+    with torch.no_grad():
+        qpos = thead.query_embedding(t_pos2posemb3d(refs_all_t, C // 2))
+        q = torch.zeros_like(qpos)[:, None]
+        qp = qpos[:, None]
+        k = keys_t[:, None]
+        kp = kpos_t[:, None]
+        outs = []
+        for lyr in thead.transformer.decoder.layers:
+            x = lyr.attentions[0].attn(q + qp, q + qp, q,
+                                       attn_mask=self_blocked,
+                                       need_weights=False)[0]
+            q = lyr.norms[0](q + x)
+            x = lyr.attentions[1].attn(q + qp, k + kp, k,
+                                       attn_mask=cross_blocked,
+                                       need_weights=False)[0]
+            q = lyr.norms[1](q + x)
+            x = lyr.ffns[0].layers[1](F.relu(lyr.ffns[0].layers[0][0](q)))
+            q = lyr.norms[2](q + x)
+            outs.append(thead.transformer.decoder.post_norm(
+                q.reshape(-1, C)))
+        ref = torch.log(refs_all_t.clamp(1e-5, 1 - 1e-5)
+                        / (1 - refs_all_t).clamp(min=1e-5))
+        cls_t, box_t = [], []
+        for lvl, out in enumerate(outs):
+            cls = thead.cls_branches[lvl](out)
+            reg = thead.reg_branches[lvl](out)
+            xy = torch.sigmoid(reg[:, 0:2] + ref[:, 0:2])
+            z = torch.sigmoid(reg[:, 4:5] + ref[:, 2:3])
+            pr = PC_RANGE
+            xy = xy * torch.tensor([pr[3] - pr[0], pr[4] - pr[1]]) + \
+                torch.tensor([pr[0], pr[1]])
+            z = z * (pr[5] - pr[2]) + pr[2]
+            box = torch.cat([xy, reg[:, 2:4], z, reg[:, 5:]], dim=1)
+            cls_t.append(cls)
+            box_t.append(box)
+        cls_t = torch.stack(cls_t)
+        box_t = torch.stack(box_t)
+
+    # ---- per-layer outputs: DN slots + match slots
+    out_j = d['out_j']
+    dn_cls_j = np.asarray(out_j.dn_cls_scores)[:, sl_j]
+    dn_box_j = np.asarray(out_j.dn_bbox_preds)[:, sl_j]
+    assert _err('dn_mode_dn_cls', dn_cls_j, cls_t[:, :pad].numpy()) < 2e-2
+    assert _err('dn_mode_dn_box', dn_box_j, box_t[:, :pad].numpy()) < 5e-2
+    cls_j = np.asarray(out_j.all_cls_scores)[:, vmask]
+    box_j = np.asarray(out_j.all_bbox_preds)[:, vmask]
+    assert _err('dn_mode_cls', cls_j, cls_t[:, pad:].numpy()) < 2e-2
+    assert _err('dn_mode_box', box_j, box_t[:, pad:].numpy()) < 5e-2
+
+    # ---- dn_loss_single per layer: torch oracle on the JAX OUTPUTS (so
+    # the loss comparison isolates loss semantics from decoder fp drift)
+    from mv2d_tpu.train.losses import dn_layer_loss
+    num_tgt = S_DN * N_GT
+    for lvl in range(LAYERS):
+        lj = dn_layer_loss(out_j.dn_cls_scores[lvl],
+                           out_j.dn_bbox_preds[lvl], dn_info, cfg)
+        lt_cls, lt_bbox = t_dn_loss_single(
+            torch.tensor(dn_cls_j[lvl]), torch.tensor(dn_box_j[lvl]),
+            known_bboxs_t.float(), known_labels_t, num_tgt)
+        assert _err(f'dn_loss_cls_l{lvl}', float(lj.loss_cls),
+                    lt_cls) < 1e-4
+        assert _err(f'dn_loss_bbox_l{lvl}', float(lj.loss_bbox),
+                    lt_bbox) < 1e-4
 
 
 def teardown_module(module):

@@ -56,6 +56,21 @@ def main():
     def force(out):
         return jax.device_get(jax.tree.leaves(out)[0].reshape(-1)[0])
 
+    # same AUTO-layout input pre-placement as bench.py - without it the
+    # trace carries a ~2.2 ms/step relayout copy of the image parameter
+    # that the bench never pays, skewing the stage split
+    try:
+        from jax.experimental.layout import Format, Layout
+        f = jax.jit(lambda v, i: model.apply(v, i, cam, img_shapes),
+                    in_shardings=Format(Layout.AUTO))
+        compiled = f.lower(variables, imgs).compile()
+        fmts = compiled.input_formats[0]
+        variables, imgs = jax.tree.map(jax.device_put, (variables, imgs),
+                                       fmts)
+        fwd = compiled
+    except Exception as e:
+        print('auto-layout unavailable, tracing default layouts:', e)
+
     force(fwd(variables, imgs))
     force(fwd(variables, imgs))
     with jax.profiler.trace(args.trace_dir):

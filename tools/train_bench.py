@@ -139,8 +139,12 @@ def main():
         try:
             from jax.experimental.layout import Format, Layout
             key0 = jax.random.PRNGKey(5)
+            # donated inputs require AUTO output layouts too (newer jax
+            # rejects AUTO-in/default-out donation); state aliases in=out
+            # so repeated calls stay layout-stable either way
             j = jax.jit(step_fn, donate_argnums=(0,),
-                        in_shardings=Format(Layout.AUTO))
+                        in_shardings=Format(Layout.AUTO),
+                        out_shardings=Format(Layout.AUTO))
             compiled = j.lower(state, batch, key0).compile()
             fmts = compiled.input_formats[0]
             state, batch, _ = jax.tree.map(jax.device_put,
