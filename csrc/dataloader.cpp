@@ -19,7 +19,10 @@ namespace {
 struct ViewTask {
   const uint8_t* src;  // [src_h, src_w, 3]
   int src_h, src_w;
-  float* dst;          // [dst_h, dst_w, 3] float32, normalized
+  float* dst;          // [dst_h, dst_w, 3] float32, normalized; with
+                       // s2d != 0: [dst_h/2, dst_w/2, 12] space-to-depth
+                       // in (dy, dx, c) channel order (padding.
+                       // s2d_fold_images) - same bytes, fused addressing
   int dst_h, dst_w;
   // affine mapping dst pixel -> src pixel: sx = a*x + b, sy = c*y + d
   // (captures resize + crop); flip applied after resize+crop if flip != 0.
@@ -27,6 +30,7 @@ struct ViewTask {
   int flip;
   const float* mean;   // [3]
   const float* stdinv; // [3]
+  int s2d;
 };
 
 void process_view(const ViewTask& t) {
@@ -39,6 +43,12 @@ void process_view(const ViewTask& t) {
     int y1 = y0 + 1 < t.src_h ? y0 + 1 : y0;
     float fy = sy - static_cast<float>(y0);
     float* drow = t.dst + static_cast<size_t>(y) * t.dst_w * 3;
+    if (t.s2d) {
+      // row base of the folded layout: [y/2, :, (y%2)*6 + ...]
+      drow = t.dst +
+             (static_cast<size_t>(y / 2) * (t.dst_w / 2)) * 12 +
+             static_cast<size_t>(y % 2) * 6;
+    }
     for (int x = 0; x < t.dst_w; ++x) {
       int xd = t.flip ? (t.dst_w - 1 - x) : x;
       float sx = t.a * static_cast<float>(x) + t.b;
@@ -52,11 +62,14 @@ void process_view(const ViewTask& t) {
       const uint8_t* p01 = t.src + (static_cast<size_t>(y0) * t.src_w + x1) * 3;
       const uint8_t* p10 = t.src + (static_cast<size_t>(y1) * t.src_w + x0) * 3;
       const uint8_t* p11 = t.src + (static_cast<size_t>(y1) * t.src_w + x1) * 3;
+      float* dpx = t.s2d
+          ? drow + static_cast<size_t>(xd / 2) * 12 + (xd % 2) * 3
+          : drow + static_cast<size_t>(xd) * 3;
       for (int ch = 0; ch < 3; ++ch) {
         float v0 = static_cast<float>(p00[ch]) * (1 - fx) + static_cast<float>(p01[ch]) * fx;
         float v1 = static_cast<float>(p10[ch]) * (1 - fx) + static_cast<float>(p11[ch]) * fx;
         float v = v0 * (1 - fy) + v1 * fy;
-        drow[static_cast<size_t>(xd) * 3 + ch] = (v - t.mean[ch]) * t.stdinv[ch];
+        dpx[ch] = (v - t.mean[ch]) * t.stdinv[ch];
       }
     }
   }
@@ -73,7 +86,7 @@ extern "C" {
 void preprocess_views(int n_views, const uint8_t** srcs, const int* src_hw,
                       float* dst, int dst_h, int dst_w, const float* affine,
                       const int* flips, const float* mean,
-                      const float* stdinv, int num_threads) {
+                      const float* stdinv, int num_threads, int s2d) {
   std::vector<ViewTask> tasks(n_views);
   for (int i = 0; i < n_views; ++i) {
     tasks[i] = ViewTask{srcs[i],
@@ -88,7 +101,8 @@ void preprocess_views(int n_views, const uint8_t** srcs, const int* src_hw,
                         affine[i * 4 + 3],
                         flips[i],
                         mean,
-                        stdinv};
+                        stdinv,
+                        s2d};
   }
   std::atomic<int> next(0);
   auto worker = [&]() {

@@ -284,8 +284,12 @@ class NuScenesDataset:
 
         # --- ida aug (shared params across views)
         p = pl.sample_ida(rng, self.ida, training)
+        # eval path: the C++ pool writes the s2d-folded layout directly
+        # (to_eval_inputs dispatches on the 12-channel shape and skips its
+        # numpy fold); training keeps [V, H, W, 3] for grid-mask/augs
         native = pl.native_preprocess(
-            [np.clip(im, 0, 255) for im in imgs], p) if not training else None
+            [np.clip(im, 0, 255) for im in imgs], p,
+            s2d=True) if not training else None
         if native is not None:
             imgs_out = native
         else:
@@ -310,7 +314,9 @@ class NuScenesDataset:
 
         H, W = self.final_dim
         out.update(
-            imgs=imgs_out.astype(np.float32),
+            # copy=False: the native path already emits float32, and a
+            # same-dtype astype copies ~100 MB per sample
+            imgs=imgs_out.astype(np.float32, copy=False),
             intrinsics=Ks.astype(np.float64),
             extrinsics=Es.astype(np.float64),
             lidar2img=lidar2img.astype(np.float64),

@@ -23,6 +23,15 @@ def pad_to(arr: np.ndarray, size: int, axis: int = 0, value=0
     return np.pad(arr, pad, constant_values=value), valid
 
 
+def s2d_unfold_images(x: np.ndarray) -> np.ndarray:
+    """Inverse of s2d_fold_images: [V, H/2, W/2, 12] -> [V, H, W, 3]
+    (visualization / debugging of pre-folded eval samples)."""
+    V, H2, W2, C4 = x.shape
+    C = C4 // 4
+    y = x.reshape(V, H2, W2, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(y).reshape(V, H2 * 2, W2 * 2, C)
+
+
 def s2d_fold_images(imgs: np.ndarray) -> np.ndarray:
     """[V, H, W, 3] -> [V, H/2, W/2, 12] space-to-depth on the host.
 

@@ -344,11 +344,16 @@ def _load_native():
 
 def native_preprocess(imgs: Sequence[np.ndarray], p: IdaParams,
                       mean=IMG_MEAN, std=IMG_STD,
-                      num_threads: int = 6) -> Optional[np.ndarray]:
+                      num_threads: int = 6,
+                      s2d: bool = False) -> Optional[np.ndarray]:
     """Fused resize+crop+flip+normalize for all views via C++ worker pool.
 
     Only valid when rotate == 0 (the shipped recipes use rot_lim (0, 0)).
-    Returns [V, fH, fW, 3] float32 or None if the native lib is unavailable.
+    Returns [V, fH, fW, 3] float32 or None if the native lib is
+    unavailable.  s2d=True additionally writes the space-to-depth layout
+    [V, fH/2, fW/2, 12] (padding.s2d_fold_images order) directly - same
+    bytes, fused addressing - removing the separate ~200 ms/sample numpy
+    fold transpose from the eval host path.
     """
     lib = _load_native()
     if not lib or p.rotate != 0.0:
@@ -356,7 +361,10 @@ def native_preprocess(imgs: Sequence[np.ndarray], p: IdaParams,
     V = len(imgs)
     x1, y1, x2, y2 = p.crop
     fH, fW = y2 - y1, x2 - x1
-    out = np.empty((V, fH, fW, 3), np.float32)
+    if s2d and (fH % 2 or fW % 2):
+        s2d = False
+    out = np.empty((V, fH // 2, fW // 2, 12), np.float32) if s2d \
+        else np.empty((V, fH, fW, 3), np.float32)
     srcs = (ctypes.c_void_p * V)()
     hw = np.empty((V, 2), np.int32)
     keep = []
@@ -380,5 +388,6 @@ def native_preprocess(imgs: Sequence[np.ndarray], p: IdaParams,
         affine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        stdinv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+        stdinv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+        int(s2d))
     return out

@@ -157,10 +157,18 @@ class TwoStageDetector(nn.Module):
             # chunk > R kills the lax.map while-loop: its AD-time copies /
             # pads / dynamic-update-slices cost more than the one-chunk
             # gather transient (RoIs are stop-gradient, so the gathered
-            # cells are not live into the backward)
+            # cells are not live into the backward).
+            # adaptive_max is map-derived (worst in-image roi spans the
+            # finest level whole: ceil(extent / 7) cells/bin), so mmcv's
+            # adaptive ceil(bin) sampling is EXACT here for every in-image
+            # roi - the former default (9) silently clamped extreme-aspect
+            # rois routed to level 0
+            amax = max(-(-max(f.shape[1], f.shape[2]) // 7)
+                       for f in feats[:4])
             roi_feats = multilevel_roi_align(
                 list(feats[:4]), rois, view_idx, self.fpn_strides[:4],
-                output_size=7, sampling_ratio=0, chunk=16384)
+                output_size=7, sampling_ratio=0, chunk=16384,
+                adaptive_max=amax)
         return self.bbox_head(roi_feats)
 
     def roi_forward_views(self, feats: Sequence[jnp.ndarray],

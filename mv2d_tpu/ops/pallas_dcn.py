@@ -452,7 +452,9 @@ def _geometry(x, sy, sx, m, stride):
     Wp = -(-W // 8) * 8
     bh = min(RB * stride + 16, Hp)
     ww = min(SW * stride + 16, Wp)
-    nb = max(Ho // RB, 1)
+    # ceil: Ho need not divide RB (R101 @ 1600x640 has a 20-row stage-4
+    # map; the floor form under-covered it and produced negative pads)
+    nb = max(-(-Ho // RB), 1)
     nsg = -(-Wo // SW)
     Hop, Wop = nb * RB, nsg * SW
 

@@ -131,7 +131,8 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
                             Hs: Sequence[int], Ws: Sequence[int],
                             strides: Sequence[int], rois: jnp.ndarray,
                             lvl: jnp.ndarray, view: jnp.ndarray,
-                            O: int, S: int) -> jnp.ndarray:
+                            O: int, S: int, mode: str = 'both'
+                            ) -> jnp.ndarray:
     """EXACT band-dense RoIAlign for the K overflow RoIs, reading the SAME
     level-stacked [V, Hslab, Wmax, C] buffer the Pallas kernel uses.
 
@@ -165,6 +166,10 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
     rw = (rois[:, 2] - rois[:, 0]) * sc
     rh = (rois[:, 3] - rois[:, 1]) * sc
     wide = rw >= rh
+    # mode='wide'/'tall': the caller bucket-compacted the overflow rois by
+    # orientation, so only ONE band shape is gathered (the dual-path form
+    # gathered ~2x the bytes and where-selected; with K=256 slots that was
+    # >1 GB of gather per call in the synthetic train bench)
 
     # static short-side bounds.  Non-top levels: level routing targets
     # sqrt(area) in [14, 28) cells, so overflow (long > 61) implies
@@ -175,44 +180,62 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
     short_x = 13 if Hs[-1] <= 61 else max(13, Ws[-1])    # tall rois' cols
     BAND = min(Hslab, -(-(short_y + 3) // 8) * 8)        # wide: band rows
     BAND_Y = min(Hslab, -(-max(Hs) // 8) * 8)            # tall: long extent
-    GRAN = -(-(short_x + 9) // 8)                        # tall: 8-col grans
+    # tall: 8-col granules; capped at the slab width for narrow (test-size)
+    # maps - with GRAN == Wg the band covers every column, so the cap is
+    # exact and the gather never indexes past the granule table
+    GRAN = min(-(-(short_x + 9) // 8), Wmax // 8)
     amax_x = -(-Wmax // O)                               # long-axis ceils
     amax_y = -(-max(Hs) // O)
     amax_sy = max(-(-short_y // O), S)                   # short-axis ceils
     amax_sx = max(-(-short_x // O), S)
 
-    # ---- WIDE path: 16 full rows starting at the band origin
-    py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
-                  jnp.minimum(-ro, 0), Hslab - ro - BAND)
-    rows = (view * Hslab + ro + py)[:, None] + jnp.arange(BAND)  # [K, 16]
-    band_w = stacked.reshape(V * Hslab, Wmax * C)[rows]
-    band_w = band_w.reshape(K, BAND, Wmax, C)
-    By_w = _band_weights(y1, rh, py.astype(dt), BAND, H, O, S,
-                         amax_sy)
-    Bx_w = _band_weights(x1, rw, jnp.zeros_like(x1), Wmax, W, O, S, amax_x)
-    t = jnp.einsum('koi,kiwc->kowc', By_w.astype(stacked.dtype), band_w,
-                   preferred_element_type=jnp.float32).astype(stacked.dtype)
-    out_w = jnp.einsum('kjw,kiwc->kijc', Bx_w.astype(stacked.dtype), t,
-                       preferred_element_type=jnp.float32)   # [K, Oy, Ox, C]
+    out_w = out_t = None
+    if mode in ('both', 'wide'):
+        # ---- WIDE path: 16 full rows starting at the band origin
+        py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
+                      jnp.minimum(-ro, 0), Hslab - ro - BAND)
+        rows = (view * Hslab + ro + py)[:, None] + jnp.arange(BAND)
+        band_w = stacked.reshape(V * Hslab, Wmax * C)[rows]
+        band_w = band_w.reshape(K, BAND, Wmax, C)
+        By_w = _band_weights(y1, rh, py.astype(dt), BAND, H, O, S,
+                             amax_sy)
+        Bx_w = _band_weights(x1, rw, jnp.zeros_like(x1), Wmax, W, O, S,
+                             amax_x)
+        t = jnp.einsum('koi,kiwc->kowc', By_w.astype(stacked.dtype),
+                       band_w,
+                       preferred_element_type=jnp.float32
+                       ).astype(stacked.dtype)
+        out_w = jnp.einsum('kjw,kiwc->kijc', Bx_w.astype(stacked.dtype),
+                           t,
+                           preferred_element_type=jnp.float32)
+        if mode == 'wide':
+            return out_w
 
-    # ---- TALL path: GRAN 8-col granules per row over BAND_Y rows
-    Wg = Wmax // 8
-    gx = jnp.clip(jnp.floor(x1).astype(jnp.int32) // 8, 0,
-                  max(Wg - GRAN, 0))
-    py2 = jnp.clip(jnp.floor(y1).astype(jnp.int32),
-                   jnp.minimum(-ro, 0), Hslab - ro - BAND_Y)
-    gr = ((view * Hslab + ro + py2)[:, None, None]
-          + jnp.arange(BAND_Y)[None, :, None]) * Wg \
-        + (gx[:, None, None] + jnp.arange(GRAN)[None, None, :])
-    band_t = stacked.reshape(V * Hslab * Wg, 8 * C)[gr]      # [K, BY, 3, 8C]
-    band_t = band_t.reshape(K, BAND_Y, GRAN * 8, C)
-    By_t = _band_weights(y1, rh, py2.astype(dt), BAND_Y, H, O, S, amax_y)
-    Bx_t = _band_weights(x1, rw, (gx * 8).astype(dt), GRAN * 8, W, O, S,
-                         amax_sx)
-    s_ = jnp.einsum('kji,kyic->kjyc', Bx_t.astype(stacked.dtype), band_t,
-                    preferred_element_type=jnp.float32).astype(stacked.dtype)
-    out_t = jnp.einsum('kiy,kjyc->kijc', By_t.astype(stacked.dtype), s_,
-                       preferred_element_type=jnp.float32)   # [K, Oy, Ox, C]
+    if mode in ('both', 'tall'):
+        # ---- TALL path: GRAN 8-col granules per row over BAND_Y rows
+        Wg = Wmax // 8
+        gx = jnp.clip(jnp.floor(x1).astype(jnp.int32) // 8, 0,
+                      max(Wg - GRAN, 0))
+        py2 = jnp.clip(jnp.floor(y1).astype(jnp.int32),
+                       jnp.minimum(-ro, 0), Hslab - ro - BAND_Y)
+        gr = ((view * Hslab + ro + py2)[:, None, None]
+              + jnp.arange(BAND_Y)[None, :, None]) * Wg \
+            + (gx[:, None, None] + jnp.arange(GRAN)[None, None, :])
+        band_t = stacked.reshape(V * Hslab * Wg, 8 * C)[gr]
+        band_t = band_t.reshape(K, BAND_Y, GRAN * 8, C)
+        By_t = _band_weights(y1, rh, py2.astype(dt), BAND_Y, H, O, S,
+                             amax_y)
+        Bx_t = _band_weights(x1, rw, (gx * 8).astype(dt), GRAN * 8, W, O,
+                             S, amax_sx)
+        s_ = jnp.einsum('kji,kyic->kjyc', Bx_t.astype(stacked.dtype),
+                        band_t,
+                        preferred_element_type=jnp.float32
+                        ).astype(stacked.dtype)
+        out_t = jnp.einsum('kiy,kjyc->kijc', By_t.astype(stacked.dtype),
+                           s_,
+                           preferred_element_type=jnp.float32)
+        if mode == 'tall':
+            return out_t
 
     return jnp.where(wide[:, None, None, None], out_w, out_t)
 
@@ -846,6 +869,17 @@ def pallas_roi_align_views(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
     import jax as _jax
     if interpret is None:
         interpret = _jax.default_backend() != 'tpu'
+    ob_env = os.environ.get('MV2D_ALIGN_OVERFLOW_K')
+    if ob_env is not None:
+        # A/B knob: cap (or 0 = disable) the exact-overflow buckets to
+        # attribute their cost; accuracy-affecting, measurement use only
+        overflow_bucket = min(overflow_bucket, int(ob_env))
+    s_env = os.environ.get('MV2D_ALIGN_FIXED_S')
+    if s_env:
+        # A/B knob: force a fixed sample count (e.g. 2 = mmcv
+        # sampling_ratio=2) to price the exact adaptive ceil(bin)
+        # semantics; accuracy-affecting, measurement use only
+        sampling_ratio = int(s_env)
     if not interpret and feats[0].shape[-1] % 128 != 0:
         # C must fill whole 128-lane registers (Mosaic reshape rule);
         # small-channel configs take XLA gather
@@ -1110,54 +1144,60 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     if overflow_bucket > 0:
         R = V * P
         K = min(overflow_bucket, R)
-        over = pass_id == npass
+        over_all = pass_id == npass
+        # bucket the (rare, extreme-aspect) overflow rois BY ORIENTATION:
+        # each bucket gathers only its own band shape (wide = 16 full slab
+        # rows, tall = a 24-col granule band) - the dual-path form read ~2x
+        # the bytes per slot and where-selected.  Each orientation gets its
+        # own count-keyed lax.switch (no-op / 32-slot / full bucket), so
+        # the common no-overflow frame pays nothing and a typical real
+        # frame pays a few 32-slot gathers.  Compaction is a cumsum-scatter
+        # (an R-element argsort cost ~1 ms at R=12k); the stacked slab is
+        # built INSIDE the taken branch only.
+        # orientation in image pixels == orientation in cells (same scale
+        # multiplies both sides), matching _overflow_align_stacked's test
+        wide_all = ((flat[:, 2] - flat[:, 0])
+                    >= (flat[:, 3] - flat[:, 1]))
 
-        # the band-dense gathers + einsums are ~4.5 MB of slab reads PER
-        # SLOT (wide + tall paths both computed), so the bucket size is
-        # the whole cost: overflow rois are RARE (extreme aspect), and a
-        # lax.switch keyed on the ACTUAL count picks no-op / small-bucket
-        # / full-bucket - a typical frame pays K=32 slots, not 256 (the
-        # ungated K=256 branch measured ~2 ms/step).  Compaction is a
-        # cumsum-scatter, not an R-element argsort (same first-K-by-index
-        # selection; the argsort cost ~1 ms at R=12k)
-        cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
-        n_over = cnt[-1] + 1
+        def apply_mode(buf, mode):
+            over = over_all & (wide_all if mode == 'wide' else ~wide_all)
+            cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
+            n_over = cnt[-1] + 1
 
-        def make_branch(k):
-            def add_overflow(buf):
-                slot = jnp.where(over & (cnt < k), cnt, k)
-                sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
-                    jnp.arange(R, dtype=jnp.int32))[:k]
-                valid = jnp.arange(k) < n_over
-                vi = (sel // P).astype(jnp.int32)
-                # the stacked slab is built INSIDE the taken branch only -
-                # the common no-overflow case never pays the ~1.5 ms
-                # pad+concat (the kernel assembles its own VMEM slab)
-                o_small = _overflow_align_stacked(make_stacked(), row_offs,
-                                                  Hs_c, Ws_c, strides,
-                                                  flat[sel],
-                                                  lvl[sel], vi, O, S)
-                o_small = o_small * valid[:, None, None, None]
-                if compacted:
-                    # scatter into the compacted slot of each overflow roi
-                    sl = vi * Pp + pos.reshape(-1)[sel]
-                    return buf.reshape(V * Pp, O, O, C).at[sl].add(
-                        o_small.astype(buf.dtype)).reshape(V, Pp, O, O, C)
-                return buf.reshape(R, O, O, C).at[sel].add(
-                    o_small.astype(buf.dtype)).reshape(V, P, O, O, C)
-            return add_overflow
+            def make_branch(k):
+                def add_overflow(buf):
+                    slot = jnp.where(over & (cnt < k), cnt, k)
+                    sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+                        jnp.arange(R, dtype=jnp.int32))[:k]
+                    valid = jnp.arange(k) < n_over
+                    vi = (sel // P).astype(jnp.int32)
+                    o_small = _overflow_align_stacked(
+                        make_stacked(), row_offs, Hs_c, Ws_c, strides,
+                        flat[sel], lvl[sel], vi, O, S, mode=mode)
+                    o_small = o_small * valid[:, None, None, None]
+                    if compacted:
+                        # scatter into each overflow roi's compacted slot
+                        sl = vi * Pp + pos.reshape(-1)[sel]
+                        return buf.reshape(V * Pp, O, O, C).at[sl].add(
+                            o_small.astype(buf.dtype)).reshape(V, Pp, O,
+                                                               O, C)
+                    return buf.reshape(R, O, O, C).at[sel].add(
+                        o_small.astype(buf.dtype)).reshape(V, P, O, O, C)
+                return add_overflow
 
-        K1 = min(32, K)
-        branches = [lambda b: b, make_branch(K1)]
-        if K > K1:
-            branches.append(make_branch(K))
-        idx = jnp.minimum((n_over > 0).astype(jnp.int32)
-                          + (n_over > K1).astype(jnp.int32),
-                          len(branches) - 1)
+            K1 = min(32, K)
+            branches = [lambda b: b, make_branch(K1)]
+            if K > K1:
+                branches.append(make_branch(K))
+            idx = jnp.minimum((n_over > 0).astype(jnp.int32)
+                              + (n_over > K1).astype(jnp.int32),
+                              len(branches) - 1)
+            return jax.lax.switch(idx, branches, buf)
+
         if compacted:
-            out_s = jax.lax.switch(idx, branches, out_s)
+            out_s = apply_mode(apply_mode(out_s, 'wide'), 'tall')
         else:
-            out = jax.lax.switch(idx, branches, out)
+            out = apply_mode(apply_mode(out, 'wide'), 'tall')
     if compacted:
         return out_s, pos.astype(jnp.float32)
     return out
@@ -1406,6 +1446,9 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
     import jax as _jax
     if interpret is None:
         interpret = _jax.default_backend() != 'tpu'
+    ob_env = os.environ.get('MV2D_ALIGN_OVERFLOW_K')
+    if ob_env is not None:
+        overflow_bucket = min(overflow_bucket, int(ob_env))
     V, P = rois.shape[:2]
     O = output_size
     if not interpret and feats[0].shape[-1] % 128 != 0:
@@ -1439,48 +1482,59 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         # bwd (cond's VJP differentiates only the taken branch)
         g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
                       rois_per_step)
-        over = g['pass_id'] == len(PASS_SIZES)
+        over_all = g['pass_id'] == len(PASS_SIZES)
         R = V * P
         K = min(overflow_bucket, R)
-        # tiered no-op / small / full bucket keyed on the actual overflow
-        # count + cumsum-scatter compaction, as the eval path above; the
+        flat_r = rois.reshape(-1, 4)
+        wide_all = (flat_r[:, 2] - flat_r[:, 0]) >= (flat_r[:, 3]
+                                                     - flat_r[:, 1])
+
+        # per-ORIENTATION tiered no-op / small / full buckets keyed on the
+        # actual overflow count + cumsum-scatter compaction, as the eval
+        # path above (each bucket gathers only its own band shape); the
         # switch's VJP differentiates only the taken branch, so an
         # overflow-free step skips the slab assembly fwd AND bwd
-        cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
-        n_over = cnt[-1] + 1
+        def apply_mode(buf, mode):
+            over = over_all & (wide_all if mode == 'wide' else ~wide_all)
+            cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
+            n_over = cnt[-1] + 1
 
-        def make_branch(k):
-            def add_overflow(buf):
-                slot = jnp.where(over & (cnt < k), cnt, k)
-                sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
-                    jnp.arange(R, dtype=jnp.int32))[:k]
-                valid = jnp.arange(k) < n_over
-                vi = (sel // P).astype(jnp.int32)
-                parts = [jnp.pad(f, ((0, 0), (0, 0),
-                                     (0, g['Wmax'] - f.shape[2]), (0, 0)))
-                         for f in feats]
-                stk = jnp.concatenate(parts, axis=1)
-                if stk.shape[1] < g['Hslab']:
-                    stk = jnp.pad(stk, ((0, 0),
-                                        (0, g['Hslab'] - stk.shape[1]),
-                                        (0, 0), (0, 0)))
-                o = _overflow_align_stacked(stk, g['row_offs'], g['Hs_c'],
-                                            g['Ws_c'], strides,
-                                            rois.reshape(-1, 4)[sel],
-                                            g['lvl'][sel], vi, O,
-                                            sampling_ratio)
-                o = o * valid[:, None, None, None]
-                sl = vi * Pp + g['pos'].reshape(-1)[sel]
-                return buf.reshape(V * Pp, O, O, C).at[sl].add(
-                    o.astype(buf.dtype)).reshape(V, Pp, O, O, C)
-            return add_overflow
+            def make_branch(k):
+                def add_overflow(buf):
+                    slot = jnp.where(over & (cnt < k), cnt, k)
+                    sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+                        jnp.arange(R, dtype=jnp.int32))[:k]
+                    valid = jnp.arange(k) < n_over
+                    vi = (sel // P).astype(jnp.int32)
+                    parts = [jnp.pad(f, ((0, 0), (0, 0),
+                                         (0, g['Wmax'] - f.shape[2]),
+                                         (0, 0)))
+                             for f in feats]
+                    stk = jnp.concatenate(parts, axis=1)
+                    if stk.shape[1] < g['Hslab']:
+                        stk = jnp.pad(stk, ((0, 0),
+                                            (0, g['Hslab'] - stk.shape[1]),
+                                            (0, 0), (0, 0)))
+                    o = _overflow_align_stacked(stk, g['row_offs'],
+                                                g['Hs_c'],
+                                                g['Ws_c'], strides,
+                                                flat_r[sel],
+                                                g['lvl'][sel], vi, O,
+                                                sampling_ratio, mode=mode)
+                    o = o * valid[:, None, None, None]
+                    sl = vi * Pp + g['pos'].reshape(-1)[sel]
+                    return buf.reshape(V * Pp, O, O, C).at[sl].add(
+                        o.astype(buf.dtype)).reshape(V, Pp, O, O, C)
+                return add_overflow
 
-        K1 = min(32, K)
-        branches = [lambda b: b, make_branch(K1)]
-        if K > K1:
-            branches.append(make_branch(K))
-        idx = jnp.minimum((n_over > 0).astype(jnp.int32)
-                          + (n_over > K1).astype(jnp.int32),
-                          len(branches) - 1)
-        out_s = jax.lax.switch(idx, branches, out_s)
+            K1 = min(32, K)
+            branches = [lambda b: b, make_branch(K1)]
+            if K > K1:
+                branches.append(make_branch(K))
+            idx = jnp.minimum((n_over > 0).astype(jnp.int32)
+                              + (n_over > K1).astype(jnp.int32),
+                              len(branches) - 1)
+            return jax.lax.switch(idx, branches, buf)
+
+        out_s = apply_mode(apply_mode(out_s, 'wide'), 'tall')
     return out_s, pos

@@ -243,6 +243,12 @@ def separable_roi_align_views(feat: jnp.ndarray, boxes: jnp.ndarray,
     X is contracted first (the kept spatial axis is the short one).
     Differentiable (pure einsums).
     """
+    import os as _os
+    s_env = _os.environ.get('MV2D_ALIGN_FIXED_S')
+    if s_env:
+        # A/B knob (see pallas_roi_align): price of exact adaptive
+        # ceil(bin) sampling vs a fixed count; measurement use only
+        sampling_ratio = int(s_env)
     V, H, W, C = feat.shape
     offset = 0.5 if aligned else 0.0
     x1 = boxes[..., 0] * spatial_scale - offset

@@ -159,8 +159,15 @@ def test_dataset_two_frames(tmp_path, rng):
         ida=pl.IdaAugConfig(final_dim=(64, 96), H=90, W=160),
         test_mode=True)
     s = ds.get_sample(0, np.random.default_rng(0))
-    # empty sweeps -> current frame repeated (pad_empty_sweeps)
-    assert s['imgs'].shape == (12, 64, 96, 3)
+    # empty sweeps -> current frame repeated (pad_empty_sweeps);
+    # test_mode samples arrive PRE-FOLDED from the C++ s2d path
+    assert s['imgs'].shape == (12, 32, 48, 12)
+    # the fold is exactly s2d_fold_images of the [V, H, W, 3] layout
+    from mv2d_tpu.data.padding import s2d_unfold_images
+    unf = s2d_unfold_images(np.asarray(s['imgs']))
+    assert unf.shape == (12, 64, 96, 3)
+    imgs_j, _, _ = nusc.to_eval_inputs(s)
+    assert imgs_j.shape == (12, 32, 48, 12)
     assert (s['timestamps'][6:] > s['timestamps'][:6]).all()
 
 

@@ -21,6 +21,10 @@ def _xla_samples(x, sy, sx, m):
     (1, (3, 32, 88, 128), 2.0),
     (1, (2, 16, 44, 128), 5.0),
     (2, (2, 32, 88, 128), 3.0),
+    # Ho not a multiple of RB=8 (R101 @ 1600x640 stage-4 is 20 rows):
+    # pins the ceil row-block count (the floor form under-covered Ho and
+    # crashed _geometry with a negative pad)
+    (1, (2, 20, 56, 128), 2.0),
 ])
 def test_band_kernel_matches_gather(stride, shape, off_scale):
     np.random.seed(0)

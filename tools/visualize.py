@@ -33,11 +33,16 @@ def draw_bev(ax, boxes, color, label=None):
                 label=label if i == 0 else None)
 
 
-def draw_camera_views(axes, sample, boxes3d, color):
-    """Project 3D boxes into each camera image (replaces the patched devkit
-    renderer visual_nuscenes.py)."""
+def draw_camera_views(axes, sample, box_sets):
+    """Project 3D box sets into each camera image (replaces the patched
+    devkit renderer visual_nuscenes.py, incl. its GT-vs-pred overlay).
+    box_sets: sequence of (boxes3d [N, 9], color)."""
     from mv2d_tpu.data.converter import _box_corners
-    imgs = sample['imgs']
+    imgs = np.asarray(sample['imgs'])
+    if imgs.shape[-1] == 12:
+        # eval samples arrive pre-folded (C++ s2d path); unfold to render
+        from mv2d_tpu.data.padding import s2d_unfold_images
+        imgs = s2d_unfold_images(imgs)
     l2i = np.asarray(sample['lidar2img'], np.float64)
     mean = np.asarray([123.675, 116.28, 103.53])
     std = np.asarray([58.395, 57.12, 57.375])
@@ -48,33 +53,63 @@ def draw_camera_views(axes, sample, boxes3d, color):
         ax.imshow(img)
         ax.axis('off')
         H, W = img.shape[:2]
-        for b in boxes3d:
-            corners = _box_corners(np.asarray(b, np.float64))
-            hom = np.concatenate([corners, np.ones((8, 1))], 1)
-            q = hom @ l2i[v].T
-            if (q[:, 2] < 0.1).all():
-                continue
-            uv = q[:, :2] / np.maximum(q[:, 2:3], 0.1)
-            if (uv[:, 0].max() < 0 or uv[:, 0].min() > W or
-                    uv[:, 1].max() < 0 or uv[:, 1].min() > H):
-                continue
-            for a, bb in edges:
-                if q[a, 2] > 0.1 and q[bb, 2] > 0.1:
-                    ax.plot([uv[a, 0], uv[bb, 0]], [uv[a, 1], uv[bb, 1]],
-                            color=color, linewidth=0.6)
+        for boxes3d, color in box_sets:
+            for b in boxes3d:
+                corners = _box_corners(np.asarray(b, np.float64))
+                hom = np.concatenate([corners, np.ones((8, 1))], 1)
+                q = hom @ l2i[v].T
+                if (q[:, 2] < 0.1).all():
+                    continue
+                uv = q[:, :2] / np.maximum(q[:, 2:3], 0.1)
+                if (uv[:, 0].max() < 0 or uv[:, 0].min() > W or
+                        uv[:, 1].max() < 0 or uv[:, 1].min() > H):
+                    continue
+                for a, bb in edges:
+                    if q[a, 2] > 0.1 and q[bb, 2] > 0.1:
+                        ax.plot([uv[a, 0], uv[bb, 0]],
+                                [uv[a, 1], uv[bb, 1]],
+                                color=color, linewidth=0.6)
         ax.set_xlim(0, W)
         ax.set_ylim(H, 0)
 
 
+def _synthetic_dataset():
+    """Fixture dataset (tests/test_data._fake_nuscenes) so the GT-vs-pred
+    render works without real data - used for the docs side-by-side."""
+    import tempfile
+    from mv2d_tpu import configs
+    from mv2d_tpu.data.nuscenes import NuScenesDataset, SampleBuckets
+    from mv2d_tpu.data.pipeline import IdaAugConfig
+    from tests.test_data import _fake_nuscenes
+    mcfg = configs.tiny()
+    tmp = tempfile.mkdtemp(prefix='vis_fake_')
+    info_path, coco_path = _fake_nuscenes(tmp, n_samples=2)
+    final = tuple(mcfg.image_size)
+    dataset = NuScenesDataset(
+        info_path=info_path, ann2d_path=coco_path,
+        num_frames=mcfg.num_frames, test_mode=True, final_dim=final,
+        ida=IdaAugConfig(final_dim=final, H=90, W=160),
+        buckets=SampleBuckets(max_gt3d=mcfg.max_gt,
+                              max_gt2d=mcfg.max_gt2d))
+    from mv2d_tpu.models.mv2d import MV2D
+    return MV2D(mcfg), dataset
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('config')
+    p.add_argument('config', nargs='?', default=None)
     p.add_argument('--checkpoint', default=None)
     p.add_argument('--index', type=int, default=0)
     p.add_argument('--out', default='vis.png')
     p.add_argument('--score-thr', type=float, default=0.3)
     p.add_argument('--cameras', action='store_true',
                    help='also render per-camera projections')
+    p.add_argument('--no-gt', action='store_true',
+                   help='predictions only (GT overlay is on by default, '
+                        'ref tools/visual_nuscenes.py GT-vs-pred mode)')
+    p.add_argument('--synthetic', action='store_true',
+                   help='render from the synthetic fixture (no config/'
+                        'data needed)')
     args = p.parse_args()
 
     import matplotlib
@@ -82,12 +117,17 @@ def main():
     import matplotlib.pyplot as plt
     import jax
 
-    cfg = load_cli_config(args.config)
-    model = build_model(cfg)
-    dataset = build_dataset(cfg, 'val')
     from mv2d_tpu.data.nuscenes import to_eval_inputs
     from mv2d_tpu.eval.results import gt_dict_from_info
     from mv2d_tpu.train.checkpoint import restore_checkpoint
+
+    if args.synthetic:
+        jax.config.update('jax_platforms', 'cpu')
+        model, dataset = _synthetic_dataset()
+    else:
+        cfg = load_cli_config(args.config)
+        model = build_model(cfg)
+        dataset = build_dataset(cfg, 'val')
 
     s = dataset.get_sample(args.index, np.random.default_rng(0))
     imgs, cam, shapes = to_eval_inputs(s)
@@ -105,10 +145,16 @@ def main():
         ax = fig.add_subplot(2, 4, (4, 8))
         cam_axes = [fig.add_subplot(2, 4, i + 1 + (i // 3))
                     for i in range(V)]
-        draw_camera_views(cam_axes, s, np.asarray(boxes)[keep], 'tab:red')
+        # GT-vs-pred overlay in the camera views (the reference's
+        # patched-devkit renderer mode, tools/visual_nuscenes.py)
+        sets = ([] if args.no_gt
+                else [(np.asarray(gt['boxes']), 'tab:green')])
+        sets.append((np.asarray(boxes)[keep], 'tab:red'))
+        draw_camera_views(cam_axes, s, sets)
     else:
         fig, ax = plt.subplots(figsize=(8, 8))
-    draw_bev(ax, gt['boxes'], 'tab:green', 'GT')
+    if not args.no_gt:
+        draw_bev(ax, gt['boxes'], 'tab:green', 'GT')
     draw_bev(ax, np.asarray(boxes)[keep], 'tab:red', 'pred')
     ax.set_xlim(-55, 55); ax.set_ylim(-55, 55)
     ax.set_aspect('equal'); ax.legend(); ax.set_title('BEV')
