@@ -36,8 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RB = 8    # output rows per grid step
-SW = 8    # output cols per segment
+import os as _os
+
+# band shape: output rows per grid step x output cols per segment.
+# Env-tunable for A/B (fatter bands = fewer grid steps + bigger MXU dots
+# at the cost of relatively larger halos): MV2D_DCN_RB / MV2D_DCN_SW.
+RB = int(_os.environ.get('MV2D_DCN_RB', '8'))
+SW = int(_os.environ.get('MV2D_DCN_SW', '8'))
 
 
 def _stencil(cy_ref, cx_ref, sy_ref, sx_ref, m_ref, band, *, stride: int,
