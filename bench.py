@@ -121,4 +121,19 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as e:
+        # a killed earlier client leaves a stale device claim on the axon
+        # backend; the next client fails UNAVAILABLE for ~5-10 min until
+        # it expires.  The backend-init failure is cached per process, so
+        # retry once in a FRESH process after the claim window.
+        import os
+        import sys
+        msg = str(e)
+        if (('UNAVAILABLE' in msg or 'Unable to initialize backend' in msg)
+                and not os.environ.get('MV2D_BENCH_RETRY')):
+            os.environ['MV2D_BENCH_RETRY'] = '1'
+            time.sleep(480)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
