@@ -201,6 +201,167 @@ def _kernel_samples_bwd(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref,
     dsx_ref[0, 0, 0] = (hy * dhx * dw2d).sum(0) * mm[0]
 
 
+def _kernel_conv_bwd(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, w_ref,
+                     dy_ref, dband_ref, dsy_ref, dsx_ref, dm_ref, dw_ref,
+                     band, sem, *, nb: int, bh: int, ww: int, stride: int,
+                     h_in: int, wp_in: int):
+    """Combined adjoint of _kernel_conv: ONE pass produces dX windows,
+    coordinate/modulation grads AND the tap-weight grad - the modulated
+    samples tensor [V, Ho, Wo, 9C] (~156 MB/stage-3 layer) never touches
+    HBM in either direction (it is recomputed per segment as one MXU dot).
+
+    dy_ref: [1, RB, SW, F] upstream output grads in the forward's
+    row-major layout; dw_ref: [9C, F] f32 - CONSTANT index over the WHOLE
+    grid (sequential), zeroed at the first step and accumulated;
+    dband/dsy/dsx/dm as in _kernel_samples_bwd."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    C = band.shape[-1]
+    F = w_ref.shape[-1]
+    v = i // nb
+    rb = i % nb
+    y0 = jnp.clip(rb * RB * stride - 8, 0, max(h_in - bh, 0))
+
+    @pl.when(s == 0)
+    def _load_band():
+        cp = pltpu.make_async_copy(x_ref.at[v, pl.ds(y0, bh)], band, sem)
+        cp.start()
+        cp.wait()
+        dband_ref[:] = jnp.zeros_like(dband_ref)
+
+    @pl.when((i == 0) & (s == 0))
+    def _zero_dw():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    xw0 = pl.multiple_of(
+        jnp.clip(s * SW * stride - 8, 0, max(wp_in - ww, 0)), 8)
+    ys = sy_ref[0, 0]                                  # [1, Q]
+    xs = sx_ref[0, 0]
+    mm = m_ref[0, 0]
+    cy = cy_ref[:, :1]                                 # [J, 1]
+    cx = cx_ref[:, :1]
+    hy = jnp.maximum(1.0 - jnp.abs(cy - ys), 0.0)      # [J, Q]
+    hx = jnp.maximum(1.0 - jnp.abs(cx - xs), 0.0)
+    w2dt = hy * hx * mm
+
+    win_raw = band[:, pl.ds(xw0, ww), :].reshape(bh * ww, C)
+    # recompute the forward's samples exactly (same dot, same rounding)
+    smp = jax.lax.dot_general(
+        w2dt.astype(band.dtype), win_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [Q, C]
+    smp = smp.astype(band.dtype)
+
+    dyseg = dy_ref[0].reshape(RB * SW, F).astype(band.dtype)
+    QP = RB * SW
+    parts = []
+    for t in range(9):
+        # ds_t[q, c] = sum_f dy[q, f] w[t, c, f] - the sample grads
+        parts.append(jax.lax.dot_general(
+            dyseg, w_ref[pl.ds(t * C, C), :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))       # [QP, C]
+        # dw_t[c, f] = sum_q smp_t[q, c] dy[q, f]
+        dw_t = jax.lax.dot_general(
+            smp[t * QP:(t + 1) * QP, :], dyseg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [C, F]
+        dw_ref[pl.ds(t * C, C), :] += dw_t
+    dsm = jnp.concatenate(parts, axis=0)               # [Q, C] f32
+
+    # dX window: dWin[j, c] = sum_q W2D[j, q] dS[q, c]
+    dwin = jax.lax.dot_general(
+        w2dt, dsm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [J, C]
+    dband_ref[0, :, pl.ds(xw0, ww), :] += dwin.reshape(bh, ww, C)
+
+    # dW2D[j, q] = sum_c Win[j, c] dS[q, c]
+    win = win_raw.astype(jnp.float32)
+    dw2d = jax.lax.dot_general(
+        win, dsm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [J, Q]
+    f0y = jnp.floor(ys)
+    f0x = jnp.floor(xs)
+    dhy = ((cy == f0y + 1.0).astype(jnp.float32)
+           - (cy == f0y).astype(jnp.float32))
+    dhx = ((cx == f0x + 1.0).astype(jnp.float32)
+           - (cx == f0x).astype(jnp.float32))
+    dm_ref[0, 0, 0] = (hy * hx * dw2d).sum(0)
+    dsy_ref[0, 0, 0] = (dhy * hx * dw2d).sum(0) * mm[0]
+    dsx_ref[0, 0, 0] = (hy * dhx * dw2d).sum(0) * mm[0]
+
+
+def _run_conv_bwd(xp, psy, psx, pm, w, dy, stride, bh, ww, interpret):
+    """dy: [G, RB, NSg*SW, F] (fwd row-major layout) -> (dbands
+    [G, bh, Wp, C] f32, dpsy/dpsx/dpm [G, NSg, 1, Q] f32, dw [9C, F] f32).
+    """
+    V_, Hp, Wp, C = xp.shape
+    G, nsg = psy.shape[0], psy.shape[1]
+    Q = 9 * RB * SW
+    F = w.shape[-1]
+    cy, cx = _cell_coords(bh, ww)
+    J = bh * ww
+    coord_spec = pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_conv_bwd, nb=G // V_, bh=bh, ww=ww,
+                          stride=stride, h_in=Hp, wp_in=Wp),
+        grid=(G, nsg),
+        in_specs=[pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((9 * C, F), lambda i, s: (0, 0)),
+                  pl.BlockSpec((1, RB, SW, F), lambda i, s: (i, 0, s, 0))],
+        out_specs=[pl.BlockSpec((1, bh, Wp, C), lambda i, s: (i, 0, 0, 0)),
+                   coord_spec, coord_spec, coord_spec,
+                   pl.BlockSpec((9 * C, F), lambda i, s: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((G, bh, Wp, C), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nsg, 1, Q), jnp.float32),
+                   jax.ShapeDtypeStruct((9 * C, F), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bh, Wp, C), xp.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(cy, cx, xp, psy, psx, pm, w, dy)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_band_conv(stride, bh, ww, interpret):
+    """Differentiable in-kernel-contraction band DCN over the PACKED
+    inputs (training): forward = _run_conv (row-major [G, RB, NSg*SW, F],
+    free un-permute), backward = ONE combined kernel (_kernel_conv_bwd)
+    that recomputes samples per segment and emits dX/dsy/dsx/dm/dw -
+    neither direction materializes the [.., 9C] samples tensor in HBM."""
+
+    @jax.custom_vjp
+    def f(xp, psy, psx, pm, w):
+        return _run_conv(xp, psy, psx, pm, w, stride, bh, ww, interpret)
+
+    def fwd(xp, psy, psx, pm, w):
+        return f(xp, psy, psx, pm, w), (xp, psy, psx, pm, w)
+
+    def bwd(res, g):
+        xp, psy, psx, pm, w = res
+        V_, Hp, Wp, C = xp.shape
+        G = psy.shape[0]
+        nb = G // V_
+        dbands, dpsy, dpsx, dpm, dw = _run_conv_bwd(
+            xp, psy, psx, pm, w, g.astype(xp.dtype), stride, bh, ww,
+            interpret)
+        dbands = dbands.reshape(V_, nb, bh, Wp, C)
+        dxp = jnp.zeros((V_, Hp, Wp, C), jnp.float32)
+        for rb in range(nb):
+            y0 = min(max(rb * RB * stride - 8, 0), max(Hp - bh, 0))
+            dxp = dxp.at[:, y0:y0 + bh].add(dbands[:, rb])
+        return (dxp.astype(xp.dtype), dpsy.astype(psy.dtype),
+                dpsx.astype(psx.dtype), dpm.astype(pm.dtype),
+                dw.astype(w.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _run_samples_bwd(xp, psy, psx, pm, ds, stride, bh, ww, interpret):
     """ds: [G, 9, NSg*64, C] -> (dbands [G, bh, Wp, C] f32,
     dpsy/dpsx/dpm [G, NSg, 1, Q] f32)."""
@@ -315,17 +476,19 @@ def dcn_modulated_conv_train(x: jnp.ndarray, sy: jnp.ndarray,
                              overflow_bucket: int = 2048,
                              interpret: bool | None = None) -> jnp.ndarray:
     """DIFFERENTIABLE band-kernel DCN with the tap-weight contraction
-    reordered around the sampler's NATIVE layout (training path).
+    IN-KERNEL (training path, round 5: the eval _kernel_conv treatment
+    applied to training).
 
-    dcn_modulated_samples transposes the [V, nb, 9, nsg, RB, SW, C]
-    kernel output into (V, Ho, Wo, 9C) before the weight dot - ~156 MB of
-    relayout per stage-3 layer, again in the backward (~12 ms/step of
-    'data formatting' in the train profile).  Here the contraction runs
-    per tap directly on the kernel layout (9 sliced [N, C] @ [C, F] dots,
-    no sample transpose) and only the F-wide OUTPUT is un-permuted (9x
-    less data).  Out-of-band overflow samples are contracted separately
-    and scatter-added into the output (bounded, <= overflow_bucket rows).
-    x: [V, H, W, C]; sy/sx/m: [V, Ho, Wo, 9]; w: [9*C? or (9, C, F)] ->
+    Forward = _run_conv: nine [64, C] @ [C, F] tap dots per segment on
+    the VMEM-resident stencil samples, row-major [G, RB, NSg*SW, F]
+    output whose un-permute is a free reshape - the modulated samples
+    tensor (~156 MB/stage-3 layer) never reaches HBM.  Backward = ONE
+    combined kernel that recomputes the samples per segment and emits
+    dX bands, coordinate/modulation grads and the dw accumulator
+    (_kernel_conv_bwd).  Out-of-band overflow samples are contracted by
+    plain XLA and scatter-added (bounded, <= overflow_bucket rows), so
+    autodiff covers their grads.
+    x: [V, H, W, C]; sy/sx/m: [V, Ho, Wo, 9]; w: [9*C*F or (9, C, F)] ->
     [V, Ho, Wo, F].
     """
     if interpret is None:
@@ -336,19 +499,9 @@ def dcn_modulated_conv_train(x: jnp.ndarray, sy: jnp.ndarray,
     Hop, Wop = dims['Hop'], dims['Wop']
     w9 = w.reshape(9, C, -1)
     F = w9.shape[-1]
-    raw = _make_band_sample(stride, dims['bh'], dims['ww'], interpret)(
-        xp, psy, psx, pm)                      # [V*nb, 9, nsg*RB*SW, C]
-    N = raw.shape[0] * raw.shape[2]
-    acc = None
-    for t in range(9):
-        part = jax.lax.dot_general(
-            raw[:, t].reshape(N, C), w9[t].astype(raw.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-    y = acc.reshape(V, nb, nsg, RB, SW, F)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
-    y = y.astype(x.dtype)
+    y = _make_band_conv(stride, dims['bh'], dims['ww'], interpret)(
+        xp, psy, psx, pm, w9.reshape(9 * C, F))  # [V*nb, RB, nsg*SW, F]
+    y = y.reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
 
     if overflow_bucket > 0:
         def add_overflow(y):

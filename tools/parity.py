@@ -52,6 +52,15 @@ def parse_args():
     p.add_argument('--golden-proposals', type=int, default=8,
                    help='proposal slots per view for the golden sample '
                         '(the torch oracle is python loops)')
+    p.add_argument('--matmul-precision', default=None,
+                   choices=('default', 'high', 'highest'),
+                   help='run the JAX side under '
+                        'jax.default_matmul_precision: the control '
+                        'experiment for the full-dim golden\'s pe/'
+                        'roi_align rows (docs/PARITY.md) - if the drift '
+                        'is MXU bf16-pass accumulation it collapses '
+                        'under "highest", a layout/conversion bug does '
+                        'not')
     p.add_argument('--cfg-options', nargs='*', default=None)
     return p.parse_args()
 
@@ -120,7 +129,8 @@ def _head_oracle_module(mcfg, num_views, pad):
     return g
 
 
-def golden_table(mcfg, variables, sd_raw, sample, n_prop):
+def golden_table(mcfg, variables, sd_raw, sample, n_prop,
+                 matmul_precision=None):
     """Per-stage torch-vs-JAX error table on one sample.
 
     Runs the CURRENT-FRAME single-frame head (the torch oracle transcribes
@@ -175,6 +185,22 @@ def golden_table(mcfg, variables, sd_raw, sample, n_prop):
         run_vars['constants'] = consts
     p4_j, pos_j, proposals, out_j = model.apply(
         run_vars, imgs, cam, img_shapes, method=head_fwd)
+    if matmul_precision:
+        # precision CONTROL for the pe/roi_align drift rows: re-evaluate
+        # ONLY those two stages under jax.default_matmul_precision - the
+        # whole-model context breaks Pallas kernels (fp32-precision bf16
+        # in-kernel dots fail Mosaic) and the full-XLA f32 detect path
+        # overflows a 4 GiB buffer limit on the chip.  Each golden row is
+        # a self-contained comparison given the shared p4, so scoping the
+        # context to the row under test is the correct experiment.
+        def pe_only(mdl, p4_, cam_, shapes_):
+            return mdl.pe(p4_, cam_.img2lidar, shapes_, mdl.cfg.image_size)
+
+        with jax.default_matmul_precision(matmul_precision):
+            pos_j = model.apply(run_vars, p4_j, cam, img_shapes,
+                                method=pe_only)
+        print(f'[golden] pe + roi_align rows re-run under '
+              f'matmul precision {matmul_precision!r}')
 
     # ---------------- torch side (reuses the composed-golden oracle)
     if sd_raw is None:
@@ -215,10 +241,14 @@ def golden_table(mcfg, variables, sd_raw, sample, n_prop):
     FH, FW = g.FH, g.FW
     O = mcfg.roi_size
     cat_j = jnp.concatenate([jnp.asarray(p4), pos_j], axis=-1)
-    roi_j = np.asarray(separable_roi_align_views(
-        cat_j, jnp.asarray(boxes), 1.0 / mcfg.stride, O,
-        sampling_ratio=-1, adaptive_max=(-(-FH // O), -(-FW // O))
-    )).reshape(V * P, O, O, -1)
+    from contextlib import nullcontext
+    prec_ctx = (jax.default_matmul_precision(matmul_precision)
+                if matmul_precision else nullcontext())
+    with prec_ctx:
+        roi_j = np.asarray(separable_roi_align_views(
+            cat_j, jnp.asarray(boxes), 1.0 / mcfg.stride, O,
+            sampling_ratio=-1, adaptive_max=(-(-FH // O), -(-FW // O))
+        )).reshape(V * P, O, O, -1)
     cat_t = torch.cat([torch.tensor(p4).permute(0, 3, 1, 2),
                        torch.tensor(pos_t).permute(0, 3, 1, 2)], dim=1)
     e = 0.0
@@ -409,7 +439,8 @@ def main():
                           extrinsics=np.asarray(s['extrinsics']),
                           img_shapes=np.asarray(s['img_shapes']))
         golden_table(mcfg, variables, sd_raw, sample,
-                     args.golden_proposals)
+                     args.golden_proposals,
+                     matmul_precision=args.matmul_precision)
 
     if not args.skip_eval:
         run_val_eval(cfg, mcfg, variables, args.max_samples, args.synthetic)
