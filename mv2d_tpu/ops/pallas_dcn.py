@@ -98,7 +98,11 @@ def _kernel_samples(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, out_ref,
 
     smp = _stencil(cy_ref, cx_ref, sy_ref, sx_ref, m_ref, band,
                    stride=stride, wp_in=wp_in, ww=ww)
-    out_ref[0, :, :, :] = smp.reshape(9, RB * SW, C).astype(out_ref.dtype)
+    # row-major block [9, RB, SW, C] at (i, 0, 0, s, 0): the output tensor
+    # is [G, 9, RB, NSg*SW, C] whose pixel dims are already row-major, so
+    # the conv_train wrapper's un-permute of y is a free reshape (the
+    # round-4 eval _kernel_conv treatment applied to the samples form)
+    out_ref[0] = smp.reshape(9, RB, SW, C).astype(out_ref.dtype)
 
 
 def _kernel_conv(cy_ref, cx_ref, x_ref, sy_ref, sx_ref, m_ref, w_ref,
@@ -363,8 +367,8 @@ def _make_band_conv(stride, bh, ww, interpret):
 
 
 def _run_samples_bwd(xp, psy, psx, pm, ds, stride, bh, ww, interpret):
-    """ds: [G, 9, NSg*64, C] -> (dbands [G, bh, Wp, C] f32,
-    dpsy/dpsx/dpm [G, NSg, 1, Q] f32)."""
+    """ds: [G, 9, RB, NSg*SW, C] (the fwd's row-major layout) ->
+    (dbands [G, bh, Wp, C] f32, dpsy/dpsx/dpm [G, NSg, 1, Q] f32)."""
     V_, Hp, Wp, C = xp.shape
     G, nsg = psy.shape[0], psy.shape[1]
     Q = 9 * RB * SW
@@ -379,8 +383,8 @@ def _run_samples_bwd(xp, psy, psx, pm, ds, stride, bh, ww, interpret):
                   pl.BlockSpec((J, 1), lambda i, s: (0, 0)),
                   pl.BlockSpec(memory_space=pl.ANY),
                   coord_spec, coord_spec, coord_spec,
-                  pl.BlockSpec((1, 9, RB * SW, C),
-                               lambda i, s: (i, 0, s, 0))],
+                  pl.BlockSpec((1, 9, RB, SW, C),
+                               lambda i, s: (i, 0, 0, s, 0))],
         out_specs=[pl.BlockSpec((1, bh, Wp, C), lambda i, s: (i, 0, 0, 0)),
                    coord_spec, coord_spec, coord_spec],
         out_shape=[jax.ShapeDtypeStruct((G, bh, Wp, C), jnp.float32),
@@ -450,9 +454,9 @@ def dcn_modulated_samples(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     Ho, Wo, nb, nsg = dims['Ho'], dims['Wo'], dims['nb'], dims['nsg']
     Hop, Wop = dims['Hop'], dims['Wop']
     samples = _make_band_sample(stride, dims['bh'], dims['ww'], interpret)(
-        xp, psy, psx, pm)
-    samples = samples.reshape(V, nb, 9, nsg, RB, SW, C)
-    samples = samples.transpose(0, 1, 4, 3, 5, 2, 6)
+        xp, psy, psx, pm)                      # [V*nb, 9, RB, nsg*SW, C]
+    samples = samples.reshape(V, nb, 9, RB, nsg * SW, C)
+    samples = samples.transpose(0, 1, 3, 4, 2, 5)
     samples = samples.reshape(V, Hop, Wop, 9, C)[:, :Ho, :Wo]
 
     if overflow_bucket > 0:
@@ -476,18 +480,20 @@ def dcn_modulated_conv_train(x: jnp.ndarray, sy: jnp.ndarray,
                              overflow_bucket: int = 2048,
                              interpret: bool | None = None) -> jnp.ndarray:
     """DIFFERENTIABLE band-kernel DCN with the tap-weight contraction
-    IN-KERNEL (training path, round 5: the eval _kernel_conv treatment
-    applied to training).
+    reordered around the sampler's NATIVE layout (training path).
 
-    Forward = _run_conv: nine [64, C] @ [C, F] tap dots per segment on
-    the VMEM-resident stencil samples, row-major [G, RB, NSg*SW, F]
-    output whose un-permute is a free reshape - the modulated samples
-    tensor (~156 MB/stage-3 layer) never reaches HBM.  Backward = ONE
-    combined kernel that recomputes the samples per segment and emits
-    dX bands, coordinate/modulation grads and the dw accumulator
-    (_kernel_conv_bwd).  Out-of-band overflow samples are contracted by
-    plain XLA and scatter-added (bounded, <= overflow_bucket rows), so
-    autodiff covers their grads.
+    Default: the band samples kernel (row-major pixel layout, so the
+    output un-permute is a free reshape) + nine big [N, C] @ [C, F] XLA
+    tap GEMMs; backward = the transposed band kernel via the samples
+    custom VJP, with the dw/dsamples dots plain XLA matmuls.
+    MV2D_DCN_TRAIN_FUSED=1 routes the fully-fused form instead (_run_conv
+    forward + _kernel_conv_bwd combined backward, samples never reach
+    HBM) - measured SLOWER at recipe shapes (336.2 vs 320.1 ms/scene):
+    its per-segment 64-row tap dots waste more MXU than the saved HBM
+    round trip, kept for revival at bandwidth-starved shapes.
+    Out-of-band overflow samples are contracted by plain XLA and
+    scatter-added (bounded, <= overflow_bucket rows), so autodiff covers
+    their grads.
     x: [V, H, W, C]; sy/sx/m: [V, Ho, Wo, 9]; w: [9*C*F or (9, C, F)] ->
     [V, Ho, Wo, F].
     """
@@ -499,9 +505,31 @@ def dcn_modulated_conv_train(x: jnp.ndarray, sy: jnp.ndarray,
     Hop, Wop = dims['Hop'], dims['Wop']
     w9 = w.reshape(9, C, -1)
     F = w9.shape[-1]
-    y = _make_band_conv(stride, dims['bh'], dims['ww'], interpret)(
-        xp, psy, psx, pm, w9.reshape(9 * C, F))  # [V*nb, RB, nsg*SW, F]
-    y = y.reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
+    # default = samples kernel + big XLA tap GEMMs: the fully-fused
+    # in-kernel contraction (MV2D_DCN_TRAIN_FUSED=1) measured 336.2 vs
+    # 320.1 ms/scene same-session - its per-segment 64-row dots lose more
+    # MXU than the saved samples-tensor HBM round trip buys (PERF.md r5)
+    if _os.environ.get('MV2D_DCN_TRAIN_FUSED', '0') == '1':
+        y = _make_band_conv(stride, dims['bh'], dims['ww'], interpret)(
+            xp, psy, psx, pm, w9.reshape(9 * C, F))  # [V*nb,RB,nsg*SW,F]
+        y = y.reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
+    else:
+        # samples kernel + 9 XLA tap dots (one big GEMM per tap beats the
+        # fused in-kernel 64-row dots, A/B'd in PERF.md round 5); the
+        # kernel's row-major pixel layout makes the final un-permute a
+        # free reshape
+        raw = _make_band_sample(stride, dims['bh'], dims['ww'], interpret)(
+            xp, psy, psx, pm)                  # [V*nb, 9, RB, nsg*SW, C]
+        N = raw.shape[0] * raw.shape[2] * raw.shape[3]
+        acc = None
+        for t in range(9):
+            part = jax.lax.dot_general(
+                raw[:, t].reshape(N, C), w9[t].astype(raw.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        y = acc.reshape(V, Hop, Wop, F)[:, :Ho, :Wo]
+    y = y.astype(x.dtype)
 
     if overflow_bucket > 0:
         def add_overflow(y):
@@ -538,7 +566,7 @@ def _cell_coords(bh, ww):
 
 def _run_samples(x, sy, sx, m, stride, bh, ww, interpret):
     """x: [V, Hp, Wp, C]; sy/sx/m: [V*NB, NSg, 1, Q=9*64] (q-major) ->
-    [V*NB, 9, NSg*64, C]."""
+    [V*NB, 9, RB, NSg*SW, C] (pixel dims row-major)."""
     V, Hp, Wp, C = x.shape
     G, nsg = sy.shape[0], sy.shape[1]
     Q = 9 * RB * SW
@@ -554,9 +582,9 @@ def _run_samples(x, sy, sx, m, stride, bh, ww, interpret):
                   pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
                   pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0)),
                   pl.BlockSpec((1, 1, 1, Q), lambda i, s: (i, s, 0, 0))],
-        out_specs=pl.BlockSpec((1, 9, RB * SW, C),
-                               lambda i, s: (i, 0, s, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, 9, nsg * RB * SW, C), x.dtype),
+        out_specs=pl.BlockSpec((1, 9, RB, SW, C),
+                               lambda i, s: (i, 0, 0, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, 9, RB, nsg * SW, C), x.dtype),
         scratch_shapes=[pltpu.VMEM((bh, Wp, C), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
@@ -750,9 +778,9 @@ def _samples_impl(x, sy, sx, m, stride, overflow_bucket, interpret):
     Hop, Wop = dims['Hop'], dims['Wop']
     samples = _run_samples(xp, psy, psx, pm, stride, dims['bh'],
                            dims['ww'], interpret)
-    # [V*NB, 9, NSg*64, C] -> [V, Ho, Wo, 9, C]
-    samples = samples.reshape(V, nb, 9, nsg, RB, SW, C)
-    samples = samples.transpose(0, 1, 4, 3, 5, 2, 6)
+    # [V*NB, 9, RB, NSg*SW, C] (row-major pixels) -> [V, Ho, Wo, 9, C]
+    samples = samples.reshape(V, nb, 9, RB, nsg * SW, C)
+    samples = samples.transpose(0, 1, 3, 4, 2, 5)
     samples = samples.reshape(V, Hop, Wop, 9, C)[:, :Ho, :Wo]
 
     if overflow_bucket > 0:
