@@ -44,17 +44,24 @@ class MHA(nn.Module):
     attn_drop: float = 0.1
     proj_drop: float = 0.1
     use_flash: bool = False
+    # name of an env var that, when '1', forces the XLA attention even if
+    # use_flash is set (A/B knob: the [Q, Q] training self-attn is tiny in
+    # FLOPs and the flash grid walk is pure overhead there)
+    flash_env_gate: str = ''
 
     @nn.compact
     def __call__(self, q, k, v, allowed, deterministic: bool = True):
         """q: [B, Q, C]; k, v: [B, K, C]; allowed: [B, Q, K] or None."""
+        import os as _os
         qp = nn.Dense(self.embed_dims, name='q_proj')(q)
         kp = nn.Dense(self.embed_dims, name='k_proj')(k)
         vp = nn.Dense(self.embed_dims, name='v_proj')(v)
         from ..ops import pallas_enabled
         if (self.use_flash and allowed is not None
                 and q.shape[0] == 1 and allowed.ndim == 3
-                and pallas_enabled()):
+                and pallas_enabled()
+                and not (self.flash_env_gate and _os.environ.get(
+                    self.flash_env_gate) == '1')):
             # real-TPU only: interpret-mode flash on CPU is far slower than
             # the XLA attention (the kernel itself is tested via interpret).
             # Training uses it too: the custom VJP keeps the backward out of
@@ -109,7 +116,8 @@ class PETRDecoderLayer(nn.Module):
         # training) - eval's mask-free self-attn stays on the XLA path
         qs = (query + query_pos)[None]
         sa = MHA(self.embed_dims, self.num_heads, self.dropout, self.dropout,
-                 use_flash=self.use_flash, name='self_attn')(
+                 use_flash=self.use_flash,
+                 flash_env_gate='MV2D_SELF_ATTN_XLA', name='self_attn')(
             qs, qs, query[None],
             None if self_allowed is None else self_allowed[None],
             deterministic)[0]

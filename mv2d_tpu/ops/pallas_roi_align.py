@@ -127,6 +127,73 @@ def _band_weights(lo, ext, origin, n_cells: int, bound, O: int, S: int,
     return hat.sum(-2) / div[:, None, None]              # [K, O, n_cells]
 
 
+def _compact_idx(over: jnp.ndarray, k: int):
+    """Indices of the first k set bits of `over` [R], gather formulation.
+
+    The scatter compaction (`zeros(k+1).at[slot].set(arange(R))`) lowers
+    to a while loop on TPU (~2 ms per instance; the honest-fixture train
+    trace showed ~15 ms of such whiles across the overflow branches).
+    This is the same chunked-cumsum gather form as
+    pallas_dcn._overflow_select.  Returns (sel [k] int32 - unset slots
+    point at R-1 and MUST be masked by the caller's `arange(k) < n_over`
+    - and n_over)."""
+    R = over.shape[0]
+    S = 512
+    ncp = -(-R // S) * S
+    m = jnp.pad(over, (0, ncp - R)).reshape(-1, S)
+    within = jnp.cumsum(m.astype(jnp.int32), axis=1)
+    counts = within[:, -1]
+    end = jnp.cumsum(counts)
+    base = end - counts
+    j = jnp.arange(k, dtype=jnp.int32)
+    chunk_id = jnp.sum((end[None, :] <= j[:, None]).astype(jnp.int32),
+                       axis=1)
+    chunk_id = jnp.minimum(chunk_id, m.shape[0] - 1)
+    r = j - base[chunk_id]
+    rows = within[chunk_id]
+    col = jnp.sum((rows <= r[:, None]).astype(jnp.int32), axis=1)
+    idx = chunk_id * S + jnp.minimum(col, S - 1)
+    return (jnp.where(j < end[-1], idx, R - 1).astype(jnp.int32),
+            end[-1])
+
+
+def _rows_gather(flat: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Row gather whose TRANSPOSE is a one-hot matmul, not a scatter-add.
+
+    The autodiff scatter of the overflow band gather (K*BAND rows back
+    into the [V*Hslab, Wmax*C] slab) lowers to a serial while loop on TPU
+    (~15 ms/step in the honest-fixture train trace - duplicate-index
+    handling serializes).  E^T @ g is one [KB, Nr]^T x [KB, D] MXU dot
+    with f32 accumulation - at least as exact as the bf16 scatter-add it
+    replaces, and ~10x faster."""
+    if os.environ.get('MV2D_ALIGN_OH_VJP', '1') != '1':
+        return flat[rows]
+    return _make_rows_gather(flat.shape[0], flat.dtype.name)(flat, rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rows_gather(Nr: int, dt: str):
+    @jax.custom_vjp
+    def f(fl, rw):
+        return fl[rw]
+
+    def fwd(fl, rw):
+        return f(fl, rw), rw
+
+    def bwd(rw, g):
+        K, B = rw.shape
+        gf = g.reshape(K * B, -1)
+        E = (rw.reshape(-1)[:, None] ==
+             jnp.arange(Nr)[None, :]).astype(gf.dtype)      # [KB, Nr]
+        dflat = jax.lax.dot_general(
+            E, gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.dtype(dt))
+        return dflat, np.zeros(rw.shape, dtype=jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
                             Hs: Sequence[int], Ws: Sequence[int],
                             strides: Sequence[int], rois: jnp.ndarray,
@@ -195,7 +262,7 @@ def _overflow_align_stacked(stacked: jnp.ndarray, row_offs: Sequence[int],
         py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
                       jnp.minimum(-ro, 0), Hslab - ro - BAND)
         rows = (view * Hslab + ro + py)[:, None] + jnp.arange(BAND)
-        band_w = stacked.reshape(V * Hslab, Wmax * C)[rows]
+        band_w = _rows_gather(stacked.reshape(V * Hslab, Wmax * C), rows)
         band_w = band_w.reshape(K, BAND, Wmax, C)
         By_w = _band_weights(y1, rh, py.astype(dt), BAND, H, O, S,
                              amax_sy)
@@ -444,6 +511,22 @@ def _make_pma(strides, output_size, sampling_ratio, finest_scale,
 
 
 PASS_SIZES = (16, 32, 64)   # patch rows per pass; cols = rows + 8
+WIDE_PH = 16                # wide-band pass: [WIDE_PH, Wmax] patches
+TALL_PW = 24                # tall-band pass: [ph_tall, TALL_PW] patches
+
+
+def _pass_shapes(g, O: int, S: int):
+    """Static (ph, pw, smax) per kernel pass: the square PASS_SIZES plus
+    the two band passes (wide [WIDE_PH, Wmax], tall [ph_tall, tall_pw]).
+    smax is the per-pass adaptive hat-slot bound - the bands' long axis
+    needs up to ceil(extent/O) slots, far beyond ADAPTIVE_SMAX."""
+    sq = tuple((ph, ph + 8, _pass_smax(ph, O, S)) for ph in PASS_SIZES)
+    if S > 0:
+        sw = st = S
+    else:
+        sw = -(-g['Wmax'] // O)
+        st = -(-g['ph_tall'] // O)
+    return sq + ((WIDE_PH, g['Wmax'], sw), (g['ph_tall'], g['tall_pw'], st))
 
 
 def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
@@ -575,7 +658,7 @@ def _pma_impl(feats, rois, view_idx, strides, output_size, sampling_ratio,
 
 def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                  bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
-                 *rest, nr: int, spv: int, sizes, O: int, S: int,
+                 *rest, nr: int, spv: int, shapes, O: int, S: int,
                  lvl_geo=None):
     """lvl_geo = static ((row_off, Hl, Wl8) per level): the slab is
     assembled IN-KERNEL with one DMA per level per view instead of reading
@@ -620,20 +703,25 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
     # = (1/S) sum_s hat(ys[oy*S+s] - p)
     qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0).astype(jnp.float32)
 
-    @pl.when(sp >= len(sizes))
+    @pl.when(sp >= len(shapes))
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    for p, ph in enumerate(sizes):
-        pw = ph + 8
+    for p, (ph, pw, smax) in enumerate(shapes):
+        # band passes have fat patches; chunk the stacked dots to bound
+        # the in-step patch registers (same formula as _kernel_slab_bwd_v2)
+        nrc = max(min(nr, (PASS_SIZES[-1] * (PASS_SIZES[-1] + 8) * nr)
+                      // (ph * pw)), 1)
+        while nr % nrc:
+            nrc -= 1
 
         @pl.when(sp == p)
-        def _(ph=ph, pw=pw):
+        def _(ph=ph, pw=pw, smax=smax, nrc=nrc):
             cell_y = jax.lax.broadcasted_iota(jnp.int32, (O, ph),
                                               1).astype(jnp.float32)
             cell_x = jax.lax.broadcasted_iota(jnp.int32, (O, pw),
                                               1).astype(jnp.float32)
-            bys, bxs, pats = [], [], []
+            bys, bxs = [], []
             for j in range(nr):
                 # act zeroes inactive slots (their slab reads are junk)
                 act = (active_ref[base + j] > 0).astype(jnp.float32)
@@ -642,40 +730,43 @@ def _kernel_slab(step_pass_ref, row_ref, px_ref, active_ref, y1_ref, x1_ref,
                     bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
                     py_ref[base + j].astype(jnp.float32),
                     px_ref[base + j].astype(jnp.float32),
-                    qio, cell_y, cell_x, S, act=act,
-                    smax=_pass_smax(ph, O, S))
+                    qio, cell_y, cell_x, S, act=act, smax=smax)
                 bys.append(by)
                 bxs.append(bx)
-                pats.append(slab[pl.ds(row_ref[base + j], ph),
-                                 pl.ds(pl.multiple_of(px_ref[base + j], 8),
-                                       pw), :])
-            By = jnp.stack(bys)                           # [nr, O, ph]
-            Bx = jnp.stack(bxs)                           # [nr, O, pw]
-            patches = jnp.stack(pats)                     # [nr, ph, pw, C]
-            dt = patches.dtype
-            C = patches.shape[-1]
-            # merged-minor batched dots; a lane-flattened [Hslab, Wmax*C]
-            # slab variant (2D patch slices, no (pw, C)->lanes merge) was
-            # measured NEUTRAL-to-slower: its 8-aligned row origins need
-            # 8-taller patches whose extra dot work cancels the relayout
-            # saving (eval 9.49 -> 9.33); the 3Dx4D and block-diagonal dot
-            # forms measure the same as this form
-            tmp = jax.lax.dot_general(
-                By.astype(dt), patches.reshape(nr, ph, pw * C),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # [nr, Oy, pw*C]
-            tmp = tmp.reshape(nr, O, pw, C).astype(dt)
-            tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, O * C)
-            full = jax.lax.dot_general(
-                Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # [nr, Ox, Oy*C]
-            full = full.reshape(nr, O, O, C).transpose(0, 2, 1, 3)
-            out_ref[0] = full.astype(out_ref.dtype)
+            for cb in range(nr // nrc):
+                cbase = base + cb * nrc
+                By = jnp.stack(bys[cb * nrc:(cb + 1) * nrc])  # [nrc, O, ph]
+                Bx = jnp.stack(bxs[cb * nrc:(cb + 1) * nrc])  # [nrc, O, pw]
+                pats = [slab[pl.ds(row_ref[cbase + j], ph),
+                             pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
+                                   pw), :] for j in range(nrc)]
+                patches = jnp.stack(pats)                 # [nrc, ph, pw, C]
+                dt = patches.dtype
+                C = patches.shape[-1]
+                # merged-minor batched dots; a lane-flattened
+                # [Hslab, Wmax*C] slab variant (2D patch slices, no
+                # (pw, C)->lanes merge) was measured NEUTRAL-to-slower:
+                # its 8-aligned row origins need 8-taller patches whose
+                # extra dot work cancels the relayout saving (eval 9.49 ->
+                # 9.33); the 3Dx4D and block-diagonal dot forms measure
+                # the same as this form
+                tmp = jax.lax.dot_general(
+                    By.astype(dt), patches.reshape(nrc, ph, pw * C),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, Oy, pw*C]
+                tmp = tmp.reshape(nrc, O, pw, C).astype(dt)
+                tmp = tmp.transpose(0, 2, 1, 3).reshape(nrc, pw, O * C)
+                full = jax.lax.dot_general(
+                    Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, Ox, Oy*C]
+                full = full.reshape(nrc, O, O, C).transpose(0, 2, 1, 3)
+                out_ref[0, pl.ds(cb * nrc, nrc)] = full.astype(
+                    out_ref.dtype)
 
 
 def _kernel_slab_v3(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                     x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
-                    scat_ref, *rest, nr: int, spv: int, sizes, O: int,
+                    scat_ref, *rest, nr: int, spv: int, shapes, O: int,
                     S: int, lvl_geo):
     """Flat-2D batched-hat body: ONE set of ~30 [nr*8, cells] VPU ops per
     step instead of nr unrolled [O, cells] sets (v1) or [nrc, O, cells]
@@ -721,7 +812,7 @@ def _kernel_slab_v3(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
 
     sp = step_pass_ref[v * spv + i]
 
-    @pl.when(sp >= len(sizes))
+    @pl.when(sp >= len(shapes))
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
@@ -739,44 +830,49 @@ def _kernel_slab_v3(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
         return sv[:, k:k + 1]                              # [n8, 1]
 
     act = (col(2) > 0).astype(jnp.float32)
-    for p, ph in enumerate(sizes):
-        pw = ph + 8
+    for p, (ph, pw, smax) in enumerate(shapes):
+        nrc = max(min(nr, (PASS_SIZES[-1] * (PASS_SIZES[-1] + 8) * nr)
+                      // (ph * pw)), 1)
+        while nr % nrc:
+            nrc -= 1
 
         @pl.when(sp == p)
-        def _(ph=ph, pw=pw):
+        def _(ph=ph, pw=pw, smax=smax, nrc=nrc):
             cell_y = jax.lax.broadcasted_iota(jnp.int32, (n8, ph),
                                               1).astype(jnp.float32)
             cell_x = jax.lax.broadcasted_iota(jnp.int32, (n8, pw),
                                               1).astype(jnp.float32)
             by, bx = _hat_axes(col(3), col(4), col(5), col(6), col(7),
                                col(8), col(9), col(1), qio, cell_y,
-                               cell_x, S, act=act,
-                               smax=_pass_smax(ph, O, S))
-            pats = [slab[pl.ds(row_ref[base + j], ph),
-                         pl.ds(pl.multiple_of(px_ref[base + j], 8),
-                               pw), :] for j in range(nr)]
-            patches = jnp.stack(pats)                     # [nr, ph, pw, C]
-            dt = patches.dtype
-            C = patches.shape[-1]
-            By = by.reshape(nr, O8, ph)
-            Bx = bx.reshape(nr, O8, pw)
-            tmp = jax.lax.dot_general(
-                By.astype(dt), patches.reshape(nr, ph, pw * C),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # [nr, 8, pw*C]
-            tmp = tmp.reshape(nr, O8, pw, C).astype(dt)
-            tmp = tmp.transpose(0, 2, 1, 3).reshape(nr, pw, O8 * C)
-            full = jax.lax.dot_general(
-                Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # [nr, 8, 8*C]
-            full = full.reshape(nr, O8, O8, C).transpose(0, 2, 1, 3)
-            out_ref[0] = full[:, :O, :O].astype(out_ref.dtype)
+                               cell_x, S, act=act, smax=smax)
+            for cb in range(nr // nrc):
+                cbase = base + cb * nrc
+                pats = [slab[pl.ds(row_ref[cbase + j], ph),
+                             pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
+                                   pw), :] for j in range(nrc)]
+                patches = jnp.stack(pats)                 # [nrc, ph, pw, C]
+                dt = patches.dtype
+                C = patches.shape[-1]
+                By = by.reshape(nr, O8, ph)[cb * nrc:(cb + 1) * nrc]
+                Bx = bx.reshape(nr, O8, pw)[cb * nrc:(cb + 1) * nrc]
+                tmp = jax.lax.dot_general(
+                    By.astype(dt), patches.reshape(nrc, ph, pw * C),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, 8, pw*C]
+                tmp = tmp.reshape(nrc, O8, pw, C).astype(dt)
+                tmp = tmp.transpose(0, 2, 1, 3).reshape(nrc, pw, O8 * C)
+                full = jax.lax.dot_general(
+                    Bx.astype(dt), tmp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [nrc, 8, 8*C]
+                full = full.reshape(nrc, O8, O8, C).transpose(0, 2, 1, 3)
+                out_ref[0, pl.ds(cb * nrc, nrc)] = \
+                    full[:, :O, :O].astype(out_ref.dtype)
 
 
 def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                     x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
                     scat_ref, stacked_ref, out_ref, slab, sem, *,
-                    nr: int, spv: int, sizes, O: int, S: int):
+                    nr: int, spv: int, shapes, O: int, S: int):
     """Fat-step body: the per-RoI hat-weight builds are BATCHED over the
     step's RoIs from a VMEM scalar block (scat_ref [1, nr, 11]) instead of
     an unrolled per-RoI python loop - the unrolled form's ~30 tiny [O, ph]
@@ -795,19 +891,18 @@ def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
 
     sp = step_pass_ref[v * spv + i]
 
-    @pl.when(sp >= len(sizes))
+    @pl.when(sp >= len(shapes))
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     # chunk sizes bound per-chunk patch registers to <= nr*16*24*C
-    for p, ph in enumerate(sizes):
-        pw = ph + 8
+    for p, (ph, pw, smax) in enumerate(shapes):
         nrc = max(min(nr, (16 * 24 * nr) // (ph * pw)), 1)
         while nr % nrc:
             nrc -= 1
 
         @pl.when(sp == p)
-        def _(ph=ph, pw=pw, nrc=nrc):
+        def _(ph=ph, pw=pw, smax=smax, nrc=nrc):
             qio = jax.lax.broadcasted_iota(
                 jnp.int32, (1, O, 1), 1).astype(jnp.float32)
             cell_y = jax.lax.broadcasted_iota(
@@ -827,7 +922,7 @@ def _kernel_slab_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
                                    col(7), col(8), col(9), col(1),
                                    qio, cell_y, cell_x, S, act=act,
-                                   smax=_pass_smax(ph, O, S))
+                                   smax=smax)
                 pats = [slab[pl.ds(row_ref[cbase + j], ph),
                              pl.ds(pl.multiple_of(px_ref[cbase + j], 8),
                                    pw), :] for j in range(nrc)]
@@ -940,29 +1035,12 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
                    0, L - 1).astype(jnp.int32)
     sc_all = jnp.asarray([1.0 / s for s in strides], dtype=flat.dtype)
     sc = sc_all[lvl]
-    cells = jnp.maximum(flat[:, 2] - flat[:, 0],
-                        flat[:, 3] - flat[:, 1]) * sc
+    cols_c = (flat[:, 2] - flat[:, 0]) * sc
+    rows_c = (flat[:, 3] - flat[:, 1]) * sc
+    cells = jnp.maximum(cols_c, rows_c)
     pass_id = jnp.zeros((V * P,), jnp.int32)
     for ph in PASS_SIZES:
         pass_id = pass_id + (cells > ph - 3)
-
-    # ---- per-view bucket compaction: pass-p rois of view v land in a
-    # contiguous nr-aligned run, so each grid step is single-pass.
-    # Stable within-pass ranks come from per-pass CUMSUMS (an
-    # argsort(argsort(.)) rank is two [V, P] sorts - measurably slower)
-    pid_v = pass_id.reshape(V, P)
-    counts = jnp.stack([(pid_v == p).sum(1) for p in range(npass + 1)],
-                       axis=1)                             # [V, npass+1]
-    run_off = jnp.concatenate(
-        [jnp.zeros((V, 1), counts.dtype),
-         jnp.cumsum(-(-counts // nr) * nr, axis=1)[:, :-1]], axis=1)
-    within = jnp.zeros((V, P), jnp.int32)
-    for p in range(npass + 1):
-        hit = pid_v == p
-        within = jnp.where(hit, jnp.cumsum(hit, axis=1) - 1, within)
-    pos = jnp.take_along_axis(run_off, pid_v, 1) + within  # [V, P]
-    Pp = -(-(P + npass * nr) // nr) * nr                   # padded slots
-    spv = Pp // nr
 
     # ---- slab layout (levels along H; no tail pad: a patch that would
     # overrun the slab slides its origin UP into earlier levels' rows -
@@ -976,10 +1054,60 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
         off += Hl
         Hs_c.append(Hl)
         Ws_c.append(Wl)
+    # band-pass shapes (round 5): extreme-aspect rois that escape every
+    # square pass are REAL traffic (barriers project wide, close
+    # pedestrians tall - the honest-fixture trace put ~28 ms/step in the
+    # XLA overflow branches), so the kernel serves them with two band
+    # passes over the already-VMEM-resident slab:
+    #   WIDE  [WIDE_PH, Wmax]  - full level width,  rois with rows <= 13
+    #   TALL  [ph_tall, tall_pw] - full level height, rois with cols <= 13
+    # Level routing caps sqrt(area) at 28 cells, so an overflow roi's
+    # short side is < 784/61 < 13 cells - the bands cover ALL of them;
+    # only degenerate fat rois (possible on tiny test maps) still take
+    # the XLA overflow path (pass id npass + 2).
+    ph_tall = -(-max(Hs_c) // 8) * 8
+    tall_pw = min(TALL_PW, Wmax)
     # short slabs (e.g. the single p4 level, 32 rows) are zero-padded so
     # the largest patch pass always fits; the pad rows carry zero hat
     # weights and never contribute
-    Hslab = max(off, PASS_SIZES[-1])
+    Hslab = max(off, PASS_SIZES[-1], ph_tall)
+
+    if os.environ.get('MV2D_ALIGN_BANDS', '0') == '1':
+        # REJECTED as default (round 5, measured): serving band rois
+        # in-kernel TRIPLED the slab custom-call cost (detect align 17.6
+        # -> 65.6 ms, train fwd 9 -> 46.6 in the honest-fixture trace;
+        # step 300.2 -> 373.5 ms) - the [16, Wmax] / [ph_tall, 24] patch
+        # dots need a [pw, O*C] transpose per chunk that Mosaic lowers as
+        # huge vector-shuffle relayouts, dwarfing the ~28 ms XLA overflow
+        # branches they replace.  Kept opt-in for revival with an
+        # x-major slab layout.
+        fits_wide = rows_c <= WIDE_PH - 3
+        fits_tall = cols_c <= tall_pw - 11      # 8-aligned origin slack
+    else:
+        fits_wide = fits_tall = jnp.zeros_like(rows_c, bool)
+    pass_id = jnp.where(
+        pass_id < npass, pass_id,
+        jnp.where(fits_wide, npass,
+                  jnp.where(fits_tall, npass + 1, npass + 2)))
+    nkp = npass + 2                             # kernel passes incl bands
+
+    # ---- per-view bucket compaction: pass-p rois of view v land in a
+    # contiguous nr-aligned run, so each grid step is single-pass.
+    # Stable within-pass ranks come from per-pass CUMSUMS (an
+    # argsort(argsort(.)) rank is two [V, P] sorts - measurably slower)
+    pid_v = pass_id.reshape(V, P)
+    counts = jnp.stack([(pid_v == p).sum(1) for p in range(nkp + 1)],
+                       axis=1)                             # [V, nkp+1]
+    run_off = jnp.concatenate(
+        [jnp.zeros((V, 1), counts.dtype),
+         jnp.cumsum(-(-counts // nr) * nr, axis=1)[:, :-1]], axis=1)
+    within = jnp.zeros((V, P), jnp.int32)
+    for p in range(nkp + 1):
+        hit = pid_v == p
+        within = jnp.where(hit, jnp.cumsum(hit, axis=1) - 1, within)
+    pos = jnp.take_along_axis(run_off, pid_v, 1) + within  # [V, P]
+    Pp = -(-(P + nkp * nr) // nr) * nr                     # padded slots
+    spv = Pp // nr
 
     # ---- per-roi geometry at the routed level (pass-dependent clipping)
     row_off_t = jnp.asarray(row_offs)[lvl]
@@ -989,13 +1117,17 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
     y1 = flat[:, 1] * sc - 0.5
     bw = (flat[:, 2] - flat[:, 0]) * sc / O
     bh = (flat[:, 3] - flat[:, 1]) * sc / O
-    ph_of = jnp.asarray(list(PASS_SIZES) + [PASS_SIZES[-1]])[pass_id]
+    ph_of = jnp.asarray(list(PASS_SIZES)
+                        + [WIDE_PH, ph_tall, PASS_SIZES[-1]])[pass_id]
+    pw_of = jnp.asarray([ph + 8 for ph in PASS_SIZES]
+                        + [Wmax, tall_pw, PASS_SIZES[-1] + 8])[pass_id]
     # level-relative patch origin; may go negative (slide into earlier
     # levels) so the read [row, row+ph) always stays inside the slab
     py = jnp.clip(jnp.floor(y1).astype(jnp.int32),
                   jnp.minimum(-row_off_t, 0), Hslab - row_off_t - ph_of)
     px = jnp.floor(x1).astype(jnp.int32) // 8 * 8
-    px = jnp.clip(px, 0, jnp.maximum(Wmax - (ph_of + 8), 0))
+    # the WIDE band's pw == Wmax forces px to 0 through this same clip
+    px = jnp.clip(px, 0, jnp.maximum(Wmax - pw_of, 0))
     row = row_off_t + py
 
     # ---- route per-roi scalars into padded slots with ONE one-hot batched
@@ -1004,7 +1136,7 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
     # slab align's unexplained ~2 us/roi floor)
     vals = jnp.stack(
         [row.astype(jnp.float32), px.astype(jnp.float32),
-         (pass_id < npass).astype(jnp.float32),
+         (pass_id < nkp).astype(jnp.float32),
          y1.astype(jnp.float32), x1.astype(jnp.float32),
          bh.astype(jnp.float32), bw.astype(jnp.float32),
          H_t.astype(jnp.float32), W_t.astype(jnp.float32),
@@ -1027,12 +1159,13 @@ def _prv_geom(dims, rois, strides, output_size, finest_scale, nr):
     args = [col(0, True), col(1, True), col(2, True),
             col(3), col(4), col(5), col(6), col(7), col(8), col(9, True)]
     spass = jnp.where(slot_has, jnp.round(scat_all[..., 10]).astype(
-        jnp.int32), npass + 1)
+        jnp.int32), nkp + 1)
     step_pass = spass.reshape(V, spv, nr).min(axis=2).reshape(-1)
     return dict(lvl=lvl, pass_id=pass_id, pos=pos, Pp=Pp, spv=spv,
                 Wmax=Wmax, Hslab=Hslab, row_offs=row_offs,
                 Hs_c=Hs_c, Ws_c=Ws_c, args=args, step_pass=step_pass,
-                scat_all=scat_all)
+                scat_all=scat_all, ph_tall=ph_tall, tall_pw=tall_pw,
+                nkp=nkp)
 
 
 def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
@@ -1085,7 +1218,7 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         )
         out_s = pl.pallas_call(
             functools.partial(_kernel_slab_v2, nr=nr, spv=spv,
-                              sizes=PASS_SIZES, O=O, S=S),
+                              shapes=_pass_shapes(g, O, S), O=O, S=S),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((V, Pp, O, O, C), stacked.dtype),
             interpret=interpret,
@@ -1107,7 +1240,7 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
         inputs = list(fpad)
         if use_v3:
             kern = functools.partial(_kernel_slab_v3, nr=nr, spv=spv,
-                                     sizes=PASS_SIZES, O=O, S=S,
+                                     shapes=_pass_shapes(g, O, S), O=O, S=S,
                                      lvl_geo=tuple(lvl_geo))
             in_specs = [pl.BlockSpec((1, nr, 11),
                                      lambda v, i, *_: (v * spv + i, 0, 0),
@@ -1115,7 +1248,7 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
             inputs = [g['scat_all'].reshape(V * spv, nr, 11)] + inputs
         else:
             kern = functools.partial(_kernel_slab, nr=nr, spv=spv,
-                                     sizes=PASS_SIZES, O=O, S=S,
+                                     shapes=_pass_shapes(g, O, S), O=O, S=S,
                                      lvl_geo=tuple(lvl_geo))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=11,
@@ -1144,7 +1277,7 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
     if overflow_bucket > 0:
         R = V * P
         K = min(overflow_bucket, R)
-        over_all = pass_id == npass
+        over_all = pass_id == g['nkp']
         # bucket the (rare, extreme-aspect) overflow rois BY ORIENTATION:
         # each bucket gathers only its own band shape (wide = 16 full slab
         # rows, tall = a 24-col granule band) - the dual-path form read ~2x
@@ -1161,14 +1294,11 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
 
         def apply_mode(buf, mode):
             over = over_all & (wide_all if mode == 'wide' else ~wide_all)
-            cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
-            n_over = cnt[-1] + 1
+            n_over = over.sum()
 
             def make_branch(k):
                 def add_overflow(buf):
-                    slot = jnp.where(over & (cnt < k), cnt, k)
-                    sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
-                        jnp.arange(R, dtype=jnp.int32))[:k]
+                    sel, _ = _compact_idx(over, k)
                     valid = jnp.arange(k) < n_over
                     vi = (sel // P).astype(jnp.int32)
                     o_small = _overflow_align_stacked(
@@ -1220,7 +1350,7 @@ def _prv_impl(feats, rois, strides, output_size, sampling_ratio,
 
 def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                      x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
-                     dout_ref, dslab_ref, *, nr: int, spv: int, sizes,
+                     dout_ref, dslab_ref, *, nr: int, spv: int, shapes,
                      O: int, S: int):
     """Grid (csplit, V, spv); dslab_ref [1, Hslab, Wmax, Cb] f32 keeps a
     constant block index over the roi-step axis, so windows accumulate in
@@ -1236,11 +1366,10 @@ def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
     sp = step_pass_ref[v * spv + i]
     qio = jax.lax.broadcasted_iota(jnp.int32, (O, 1), 0).astype(jnp.float32)
 
-    for p, ph in enumerate(sizes):
-        pw = ph + 8
+    for p, (ph, pw, smax) in enumerate(shapes):
 
         @pl.when(sp == p)
-        def _(ph=ph, pw=pw):
+        def _(ph=ph, pw=pw, smax=smax):
             cell_y = jax.lax.broadcasted_iota(jnp.int32, (O, ph),
                                               1).astype(jnp.float32)
             cell_x = jax.lax.broadcasted_iota(jnp.int32, (O, pw),
@@ -1256,41 +1385,49 @@ def _kernel_slab_bwd(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                     bw_ref[base + j], hf_ref[base + j], wf_ref[base + j],
                     py_ref[base + j].astype(jnp.float32),
                     px_ref[base + j].astype(jnp.float32),
-                    qio, cell_y, cell_x, S, act=act,
-                    smax=_pass_smax(ph, O, S))
+                    qio, cell_y, cell_x, S, act=act, smax=smax)
                 bys.append(by)
                 bxs.append(bx)
-            By = jnp.stack(bys)                       # [nr, O, ph]
-            Bx = jnp.stack(bxs)                       # [nr, O, pw]
 
-            dout = dout_ref[0].astype(jnp.float32)    # [nr, O, O, Cb]
-            Cb = dout.shape[-1]
-            # u[n, y, ox*c] = sum_oy By[n, oy, y] dOut[n, oy, ox, c]
-            u = jax.lax.dot_general(
-                By, dout.reshape(nr, O, O * Cb),
-                (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # [nr, ph, O*Cb]
-            u = u.reshape(nr, ph, O, Cb).transpose(0, 2, 1, 3)
-            u = u.reshape(nr, O, ph * Cb)
-            # w[n, x, y*c] = sum_ox Bx[n, ox, x] u[n, ox, y*c]
-            w = jax.lax.dot_general(
-                Bx, u, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # [nr, pw, ph*Cb]
-            w = w.reshape(nr, pw, ph, Cb).transpose(0, 2, 1, 3)
+            # chunk the batched dots on the fat band passes (bounds the
+            # [nrc, pw, ph*Cb] f32 transients)
+            nrc = max(min(nr, (16 * 24 * nr) // (ph * pw)), 1)
+            while nr % nrc:
+                nrc -= 1
+            for cb in range(nr // nrc):
+                cbase = base + cb * nrc
+                By = jnp.stack(bys[cb * nrc:(cb + 1) * nrc])  # [nrc, O, ph]
+                Bx = jnp.stack(bxs[cb * nrc:(cb + 1) * nrc])  # [nrc, O, pw]
+                dout = dout_ref[0, pl.ds(cb * nrc, nrc)].astype(
+                    jnp.float32)                      # [nrc, O, O, Cb]
+                Cb = dout.shape[-1]
+                # u[n, y, ox*c] = sum_oy By[n, oy, y] dOut[n, oy, ox, c]
+                u = jax.lax.dot_general(
+                    By, dout.reshape(nrc, O, O * Cb),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [nrc, ph, O*Cb]
+                u = u.reshape(nrc, ph, O, Cb).transpose(0, 2, 1, 3)
+                u = u.reshape(nrc, O, ph * Cb)
+                # w[n, x, y*c] = sum_ox Bx[n, ox, x] u[n, ox, y*c]
+                w = jax.lax.dot_general(
+                    Bx, u, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [nrc, pw, ph*Cb]
+                w = w.reshape(nrc, pw, ph, Cb).transpose(0, 2, 1, 3)
 
-            for j in range(nr):
-                @pl.when(active_ref[base + j] > 0)
-                def _(j=j):
-                    dslab_ref[0,
-                              pl.ds(row_ref[base + j], ph),
-                              pl.ds(pl.multiple_of(px_ref[base + j], 8), pw),
-                              :] += w[j]
+                for j in range(nrc):
+                    @pl.when(active_ref[cbase + j] > 0)
+                    def _(j=j):
+                        dslab_ref[0,
+                                  pl.ds(row_ref[cbase + j], ph),
+                                  pl.ds(pl.multiple_of(px_ref[cbase + j],
+                                                       8), pw),
+                                  :] += w[j]
 
 
 def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                         x1_ref, bh_ref, bw_ref, hf_ref, wf_ref, py_ref,
                         scat_ref, dout_ref, dslab_ref, *, nr: int, spv: int,
-                        sizes, O: int, S: int):
+                        shapes, O: int, S: int):
     """Batched-hat version of _kernel_slab_bwd (see _kernel_slab_v2)."""
     v = pl.program_id(1)
     i = pl.program_id(2)
@@ -1302,14 +1439,13 @@ def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
 
     sp = step_pass_ref[v * spv + i]
 
-    for p, ph in enumerate(sizes):
-        pw = ph + 8
+    for p, (ph, pw, smax) in enumerate(shapes):
         nrc = max(min(nr, (16 * 24 * nr) // (ph * pw)), 1)
         while nr % nrc:
             nrc -= 1
 
         @pl.when(sp == p)
-        def _(ph=ph, pw=pw, nrc=nrc):
+        def _(ph=ph, pw=pw, smax=smax, nrc=nrc):
             qio = jax.lax.broadcasted_iota(
                 jnp.int32, (1, O, 1), 1).astype(jnp.float32)
             cell_y = jax.lax.broadcasted_iota(
@@ -1328,7 +1464,7 @@ def _kernel_slab_bwd_v2(step_pass_ref, row_ref, px_ref, active_ref, y1_ref,
                 By, Bx = _hat_axes(col(3), col(4), col(5), col(6),
                                    col(7), col(8), col(9), col(1),
                                    qio, cell_y, cell_x, S, act=act,
-                                   smax=_pass_smax(ph, O, S))
+                                   smax=smax)
 
                 dout = dout_ref[0, pl.ds(chunk * nrc, nrc)].astype(
                     jnp.float32)                      # [nrc, O, O, Cb]
@@ -1387,7 +1523,8 @@ def _prv_bwd_impl(dout_s, rois, dims, strides, output_size, sampling_ratio,
     )
     dstacked = pl.pallas_call(
         functools.partial(kern, nr=nr, spv=spv,
-                          sizes=PASS_SIZES, O=O, S=sampling_ratio),
+                          shapes=_pass_shapes(g, O, sampling_ratio),
+                          O=O, S=sampling_ratio),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((V, Hslab, Wmax, C), jnp.float32),
         interpret=interpret,
@@ -1482,7 +1619,7 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         # bwd (cond's VJP differentiates only the taken branch)
         g = _prv_geom(dims, rois, tuple(strides), output_size, finest_scale,
                       rois_per_step)
-        over_all = g['pass_id'] == len(PASS_SIZES)
+        over_all = g['pass_id'] == g['nkp']
         R = V * P
         K = min(overflow_bucket, R)
         flat_r = rois.reshape(-1, 4)
@@ -1496,14 +1633,11 @@ def pallas_roi_align_views_train(feats: Sequence[jnp.ndarray],
         # overflow-free step skips the slab assembly fwd AND bwd
         def apply_mode(buf, mode):
             over = over_all & (wide_all if mode == 'wide' else ~wide_all)
-            cnt = jnp.cumsum(over.astype(jnp.int32)) - 1
-            n_over = cnt[-1] + 1
+            n_over = over.sum()
 
             def make_branch(k):
                 def add_overflow(buf):
-                    slot = jnp.where(over & (cnt < k), cnt, k)
-                    sel = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
-                        jnp.arange(R, dtype=jnp.int32))[:k]
+                    sel, _ = _compact_idx(over, k)
                     valid = jnp.arange(k) < n_over
                     vi = (sel // P).astype(jnp.int32)
                     parts = [jnp.pad(f, ((0, 0), (0, 0),

@@ -322,3 +322,27 @@ def test_pallas_align_views_overflow_full_bucket(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(V * P, 7, 7, 8),
                                np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_band_pass_routing(rng, monkeypatch):
+    """With MV2D_ALIGN_BANDS=1 (opt-in; the in-kernel band dots measured
+    slower than the XLA overflow branches they replace - PERF.md round 5),
+    extreme-aspect rois route to the kernel band passes."""
+    monkeypatch.setenv('MV2D_ALIGN_BANDS', '1')
+    from mv2d_tpu.ops.pallas_roi_align import PASS_SIZES, _prv_geom
+    strides = (4, 8, 16, 32)
+    dims = ((128, 352), (64, 176), (32, 88), (16, 44))
+    rois = np.asarray([[
+        [100., 100., 200., 180.],     # ordinary -> square pass
+        [0., 200., 1400., 240.],      # barrier-like -> WIDE band pass
+        [600., 0., 640., 500.],       # close pedestrian -> TALL band pass
+        [0., 0., 1400., 500.],        # huge -> coarse level, square pass
+    ]], np.float32)
+    g = _prv_geom(dims, jnp.asarray(rois), strides, 7, 56.0, 8)
+    pid = np.asarray(g['pass_id'])
+    npass = len(PASS_SIZES)
+    assert pid[0] < npass
+    assert pid[1] == npass          # wide band
+    assert pid[2] == npass + 1      # tall band
+    assert pid[3] < npass           # sqrt(area) routes it coarse; fits
+    assert g['nkp'] == npass + 2

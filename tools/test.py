@@ -51,7 +51,9 @@ def main():
     # init + load weights
     s0 = dataset.get_sample(0, np.random.default_rng(0))
     imgs, cam, shapes = to_eval_inputs(s0)
-    variables = model.init(jax.random.PRNGKey(0), imgs, cam, shapes)
+    # jit: eager per-op init never finishes on the remote-TPU backend
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, cam,
+                                    shapes)
     if args.checkpoint:
         if args.checkpoint.endswith('.pth'):
             import torch

@@ -95,12 +95,15 @@ def main():
     rng = np.random.default_rng(args.seed)
     sample = dataset.get_sample(0, rng)
     b0 = to_train_batch(sample)
-    variables = model.init(
+    # jit the init: on the remote-TPU (axon) backend eager per-op dispatch
+    # costs seconds per op - an un-jitted full-model init never finishes
+    init_fn = jax.jit(lambda r, *a: model.init(
+        r, *a, method=MV2D.forward_train))
+    variables = init_fn(
         {'params': jax.random.PRNGKey(args.seed),
          'aug': jax.random.PRNGKey(1), 'dn': jax.random.PRNGKey(2),
          'dropout': jax.random.PRNGKey(3)},
-        b0.imgs, b0.cam, b0.img_shapes, b0.gt2d, b0.gt3d,
-        method=MV2D.forward_train)
+        b0.imgs, b0.cam, b0.img_shapes, b0.gt2d, b0.gt3d)
 
     if args.load_from:
         if args.load_from.endswith('.pth'):

@@ -36,6 +36,17 @@ def main():
                    help='disable DN denoising (attributes the DN query '
                         'pad + dn-loss cost)')
     p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--fixture', default=None, metavar='DIR',
+                   help='synthetic-fixture dir (tools/make_synth_fixture'
+                        '.py) to draw the bench scene from instead of '
+                        'random noise - with --weights this makes the '
+                        'proposal distribution fully realistic')
+    p.add_argument('--weights', default=None, metavar='CKPT',
+                   help='orbax checkpoint (tools/train.py epoch_N dir) to '
+                        'initialize params/constants from: with trained '
+                        'RPN weights the synthetic bench emits anchor-'
+                        'shaped proposals, so the exact-overflow tiers '
+                        'see realistic traffic (the honest-bench ask)')
     p.add_argument('--no-auto-layout', action='store_true',
                    help='compile with default input layouts (A/B the '
                         'AUTO-layout pre-placement)')
@@ -66,36 +77,50 @@ def main():
                              **({'use_denoise': False}
                                 if args.no_dn else {}))
     V = cfg.total_views
-    K, E = _rig(V, cfg.image_size)
-    cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
-    rng = np.random.default_rng(0)
-    from mv2d_tpu.data.padding import s2d_fold_images
-    imgs = jnp.asarray(s2d_fold_images(
-        rng.normal(size=(V, *cfg.image_size, 3)).astype(np.float32)))
-    shapes = jnp.asarray([[*cfg.image_size]] * V)
-    G2, G = 32, cfg.max_gt
-    g2b = np.zeros((V, G2, 4), np.float32)
-    g2v = np.zeros((V, G2), bool)
-    for v in range(V):
-        n = rng.integers(5, 20)
-        xy = rng.uniform(0, args.image_w - 200, (n, 2))
-        g2b[v, :n] = np.concatenate([xy, xy + rng.uniform(40, 200, (n, 2))],
-                                    1)
-        g2v[v, :n] = True
-    gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
-                         labels=jnp.zeros((V, G2), jnp.int32),
-                         valid=jnp.asarray(g2v))
-    g3b = np.zeros((G, 9), np.float32)
-    ngt = 25
-    g3b[:ngt, :2] = rng.uniform(-40, 40, (ngt, 2))
-    g3b[:ngt, 2] = -1.5
-    g3b[:ngt, 3:6] = rng.uniform(1, 4, (ngt, 3))
-    gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
-                         labels=jnp.asarray(rng.integers(0, 10, G),
-                                            dtype=jnp.int32),
-                         valid=jnp.asarray(np.arange(G) < ngt))
-    batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=shapes, gt2d=gt2d,
-                       gt3d=gt3d)
+    if args.fixture:
+        from mv2d_tpu.data.nuscenes import (NuScenesDataset, SampleBuckets,
+                                            to_train_batch)
+        ds = NuScenesDataset(
+            info_path=os.path.join(args.fixture, 'infos_train.pkl'),
+            ann2d_path=os.path.join(args.fixture, 'coco_train.json'),
+            num_frames=cfg.num_frames,
+            final_dim=(args.image_h, args.image_w),
+            buckets=SampleBuckets(max_gt3d=cfg.max_gt, max_gt2d=32))
+        s = ds.get_sample(0, np.random.default_rng(0))
+        batch = to_train_batch(s)
+        imgs, cam, shapes = batch.imgs, batch.cam, batch.img_shapes
+        gt2d, gt3d = batch.gt2d, batch.gt3d
+    else:
+        K, E = _rig(V, cfg.image_size)
+        cam = prepare_camera_params(K, E, timestamps=[0.0] * 6 + [0.5] * 6)
+        rng = np.random.default_rng(0)
+        from mv2d_tpu.data.padding import s2d_fold_images
+        imgs = jnp.asarray(s2d_fold_images(
+            rng.normal(size=(V, *cfg.image_size, 3)).astype(np.float32)))
+        shapes = jnp.asarray([[*cfg.image_size]] * V)
+        G2, G = 32, cfg.max_gt
+        g2b = np.zeros((V, G2, 4), np.float32)
+        g2v = np.zeros((V, G2), bool)
+        for v in range(V):
+            n = rng.integers(5, 20)
+            xy = rng.uniform(0, args.image_w - 200, (n, 2))
+            g2b[v, :n] = np.concatenate(
+                [xy, xy + rng.uniform(40, 200, (n, 2))], 1)
+            g2v[v, :n] = True
+        gt2d = GroundTruth2D(boxes=jnp.asarray(g2b),
+                             labels=jnp.zeros((V, G2), jnp.int32),
+                             valid=jnp.asarray(g2v))
+        g3b = np.zeros((G, 9), np.float32)
+        ngt = 25
+        g3b[:ngt, :2] = rng.uniform(-40, 40, (ngt, 2))
+        g3b[:ngt, 2] = -1.5
+        g3b[:ngt, 3:6] = rng.uniform(1, 4, (ngt, 3))
+        gt3d = GroundTruth3D(boxes=jnp.asarray(g3b),
+                             labels=jnp.asarray(rng.integers(0, 10, G),
+                                                dtype=jnp.int32),
+                             valid=jnp.asarray(np.arange(G) < ngt))
+        batch = TrainBatch(imgs=imgs, cam=cam, img_shapes=shapes,
+                           gt2d=gt2d, gt3d=gt3d)
 
     model = MV2D(cfg)
     t0 = time.time()
@@ -106,6 +131,18 @@ def main():
          'dn': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
         imgs, cam, shapes, gt2d, gt3d)
     print(f'init {time.time() - t0:.1f}s', flush=True)
+    if args.weights:
+        from mv2d_tpu.train.checkpoint import restore_variables
+        ev = restore_variables(args.weights,
+                               {'params': jax.device_get(
+                                    variables['params']),
+                                'constants': jax.device_get(
+                                    variables.get('constants', {}))})
+        variables = dict(variables)
+        variables['params'] = ev['params']
+        if ev.get('constants'):
+            variables['constants'] = ev['constants']
+        print(f'loaded weights from {args.weights}', flush=True)
     tx = make_optimizer(variables['params'], total_steps=1000)
     state = init_train_state(model, variables, tx)
     step_fn = make_train_step(model, tx)
