@@ -52,8 +52,12 @@ def main():
     struct = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, cam,
                             img_shapes)
     host_rng = np.random.default_rng(0)
-    variables = jax.tree.map(
-        lambda s: jnp.asarray(
+    variables = jax.tree.map_with_path(
+        # frozen-BN running VARIANCES live in the 'constants' collection
+        # under the key 'var': a plain normal draw goes negative and
+        # rsqrt(var) NaN-poisons the whole forward (caught round 5)
+        lambda p, s: jnp.asarray(
+            np.ones(s.shape, s.dtype) if 'var' in str(p[-1]) else
             host_rng.normal(0, 0.02, s.shape).astype(s.dtype)
             if np.issubdtype(s.dtype, np.floating)
             else np.zeros(s.shape, s.dtype)), struct)

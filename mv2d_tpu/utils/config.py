@@ -55,7 +55,17 @@ def _parse_value(v: str) -> Any:
     try:
         return ast.literal_eval(v)
     except (ValueError, SyntaxError):
-        return v
+        pass
+    # config-file style calls like `evaluation=dict(interval=10)` - the
+    # reference's mmcv DictAction accepts these; a silently-kept STRING
+    # here crashed an eval hook mid-soak (`'str' object has no attribute
+    # 'get'`), so support the dict(...) form explicitly
+    if v.strip().startswith(('dict(', 'dict (')):
+        try:
+            return eval(v, {'__builtins__': {}}, {'dict': dict})
+        except Exception:
+            pass
+    return v
 
 
 def apply_overrides(cfg: Dict[str, Any], options: List[str]) -> Dict[str, Any]:
