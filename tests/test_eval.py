@@ -170,3 +170,8 @@ def test_config_system(tmp_path):
     assert cfg['opt'] == {'type': 'AdamW'}
     cfg2 = cfgmod.apply_overrides(cfg, ['model.depth=101', 'lr=0.5'])
     assert cfg2['model']['depth'] == 101 and cfg2['lr'] == 0.5
+    # config-style dict(...) values (mmcv DictAction accepts these; a
+    # silently-kept string crashed an eval hook mid-soak, round 5)
+    cfg3 = cfgmod.apply_overrides(
+        cfg, ['evaluation=dict(interval=10, max_samples=4)'])
+    assert cfg3['evaluation'] == {'interval': 10, 'max_samples': 4}
