@@ -178,8 +178,12 @@ def main():
             key0 = jax.random.PRNGKey(5)
             # donated inputs require AUTO output layouts too (newer jax
             # rejects AUTO-in/default-out donation); state aliases in=out
-            # so repeated calls stay layout-stable either way
-            j = jax.jit(step_fn, donate_argnums=(0,),
+            # so repeated calls stay layout-stable either way.
+            # MV2D_AUTO_NODONATE=1 drops the donation (diagnosis knob for
+            # the intermittent second-call InvalidArgument on the axon
+            # backend - costs a second copy of the train state in HBM)
+            donate = () if os.environ.get('MV2D_AUTO_NODONATE') else (0,)
+            j = jax.jit(step_fn, donate_argnums=donate,
                         in_shardings=Format(Layout.AUTO),
                         out_shardings=Format(Layout.AUTO))
             compiled = j.lower(state, batch, key0).compile()
